@@ -1,0 +1,176 @@
+"""Field and curve specifications — all constants resolved at trace time.
+
+The reference resolves its per-prime constants (R, R^2 mod p, mprime, exponents)
+at C++ compile time via ctbignum (``/root/reference/include/ecsimd/mgry_csts.h:10-28``,
+``mgry_mul.h:25-50``). The TPU-native analogue is plain Python arbitrary-precision
+integers computed once per spec and baked into traced/compiled kernels as constants.
+
+Representation: a B-bit number is a vector of ``ndigits`` base-2^16 digits held in
+int32 "limb planes" (structure-of-arrays, digit axis leading, batch axis trailing).
+This is the reference's EVE product-type SoA layout (``bignum.h:38-102``) with the
+batch widened from 4 SIMD lanes to thousands of TPU vector lanes, and the limb width
+dropped from 64 to 16 bits so that digit products (16x16 -> 32) are exact in the
+TPU VPU's 32-bit integer lanes — the same "half-width zero-extension" move the
+reference makes from 64-bit limbs down to 32-bit half-limbs (``mul.h:63-83``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+DIGIT_BITS = 16
+DIGIT_BASE = 1 << DIGIT_BITS
+DIGIT_MASK = DIGIT_BASE - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldSpec:
+    """A prime field GF(p) with fixed-width base-2^16 digit representation.
+
+    Mirrors the role of the reference's ``mgry_constants``/``mgry_mul_constants``
+    (``mgry_csts.h:10-28``, ``mgry_mul.h:25-50``): every derived constant is a
+    Python int (or tuple of digit ints) computed eagerly so traced kernels embed
+    them as literals.
+    """
+
+    name: str
+    p: int
+    nbits: int  # storage width in bits (multiple of DIGIT_BITS)
+
+    def __post_init__(self):
+        assert self.nbits % DIGIT_BITS == 0
+        assert self.p % 2 == 1 and self.p.bit_length() <= self.nbits
+
+    @property
+    def ndigits(self) -> int:
+        return self.nbits // DIGIT_BITS
+
+    @functools.cached_property
+    def R(self) -> int:
+        # Montgomery radix: R = 2^nbits, same as the reference's
+        # R = 2^(64*nlimbs) (mgry_csts.h:15) since nbits == 64*nlimbs there.
+        return 1 << self.nbits
+
+    @functools.cached_property
+    def R_mod_p(self) -> int:
+        return self.R % self.p
+
+    @functools.cached_property
+    def R2_mod_p(self) -> int:
+        return (self.R * self.R) % self.p
+
+    @functools.cached_property
+    def R_inv(self) -> int:
+        return pow(self.R, -1, self.p)
+
+    @functools.cached_property
+    def mprime(self) -> int:
+        # -p^-1 mod 2^DIGIT_BITS; reference computes -p^-1 mod 2^32 for its
+        # 32-bit half-limbs (mgry_mul.h:33-40). One more halving step here.
+        return (-pow(self.p, -1, DIGIT_BASE)) % DIGIT_BASE
+
+    @functools.cached_property
+    def p_digits(self) -> tuple[int, ...]:
+        return int_to_digits(self.p, self.ndigits)
+
+    @functools.cached_property
+    def fermat_exponent(self) -> int:
+        # inverse(x) = x^(p-2); reference gfp.h:42-44,80-81.
+        return self.p - 2
+
+    @functools.cached_property
+    def sqrt_exponent(self) -> int:
+        # sqrt(x) = x^((p+1)/4) requires p = 3 mod 4; reference gfp.h:84-87.
+        assert self.p % 4 == 3, "sqrt exponent requires p = 3 (mod 4)"
+        return (self.p + 1) // 4
+
+
+@dataclasses.dataclass(frozen=True)
+class CurveSpec:
+    """Short-Weierstrass curve y^2 = x^3 + a*x + b with a = -3 (mod p).
+
+    Mirrors the reference's curve concept + P-256 definition
+    (``curve.h:12-15``, ``curve_nist_p256.h:14-32``).
+    """
+
+    name: str
+    field: FieldSpec
+    a: int
+    b: int
+    gx: int
+    gy: int
+    order: int
+
+    def __post_init__(self):
+        p = self.field.p
+        assert self.a == (p - 3), "curve model requires a = -3 mod p"
+        assert (self.gy * self.gy - (self.gx**3 + self.a * self.gx + self.b)) % p == 0
+        assert self.order % 2 == 1  # ladder's force-odd trick needs odd order
+
+    @property
+    def p(self) -> int:
+        return self.field.p
+
+
+def int_to_digits(x: int, ndigits: int) -> tuple[int, ...]:
+    """Little-endian base-2^16 digit decomposition."""
+    assert 0 <= x < (1 << (ndigits * DIGIT_BITS))
+    return tuple((x >> (DIGIT_BITS * i)) & DIGIT_MASK for i in range(ndigits))
+
+
+def digits_to_int(digits) -> int:
+    return sum(int(d) << (DIGIT_BITS * i) for i, d in enumerate(digits))
+
+
+# --- Standard fields -------------------------------------------------------
+
+# NIST P-256 prime (curve_nist_p256.h:17)
+P256_FIELD = FieldSpec(
+    name="p256",
+    p=0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
+    nbits=256,
+)
+
+# secp256k1 prime — used throughout the reference's Montgomery tests
+# (tests/mgry.cpp:26, tests/ops.cpp:223) though the reference defines no
+# secp256k1 *curve*.
+SECP256K1_FIELD = FieldSpec(
+    name="secp256k1",
+    p=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F,
+    nbits=256,
+)
+
+# --- Standard curves -------------------------------------------------------
+
+# NIST P-256 (curve_nist_p256.h:14-32; order from SP 800-186)
+P256 = CurveSpec(
+    name="nist-p256",
+    field=P256_FIELD,
+    a=0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFC,
+    b=0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+    gx=0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+    gy=0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+    order=0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
+)
+
+# NIST P-384 — not in the reference; included because the framework is generic
+# over wst_curve_am3-style curves (a = -3, p = 3 mod 4).
+P384_FIELD = FieldSpec(
+    name="p384",
+    p=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFFFF0000000000000000FFFFFFFF,
+    nbits=384,
+)
+
+P384 = CurveSpec(
+    name="nist-p384",
+    field=P384_FIELD,
+    a=P384_FIELD.p - 3,
+    b=0xB3312FA7E23EE7E4988E056BE3F82D19181D9C6EFE8141120314088F5013875AC656398D8A2ED19D2A85C8EDD3EC2AEF,
+    gx=0xAA87CA22BE8B05378EB1C71EF320AD746E1D3B628BA79B9859F741E082542A385502F25DBF55296C3A545E3872760AB7,
+    gy=0x3617DE4A96262C6F5D9E98BF9292DC29F8F41DBD289A147CE9DA3113B5F0B8C00A60B1CE1D7E819D7A431D7C90EA0E5F,
+    order=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFC7634D81F4372DDF581A0DB248B0A77AECEC196ACCC52973,
+)
+
+CURVES = {c.name: c for c in (P256, P384)}
+FIELDS = {f.name: f for f in (P256_FIELD, SECP256K1_FIELD, P384_FIELD)}
