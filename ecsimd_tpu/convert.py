@@ -1,0 +1,70 @@
+"""Host-side conversion between Python ints / big-endian bytes and digit planes.
+
+The analogue of the reference's serialization layer (``serialization.h:12-48``:
+big-endian bytes <-> little-endian limbs) plus the test helpers that broadcast
+values into wide lanes (``tests/tests.h:10-14``). Pure NumPy; runs on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ecsimd_tpu.specs import DIGIT_BITS, DIGIT_MASK
+
+
+def ints_to_planes(values, ndigits: int) -> np.ndarray:
+    """Python ints -> (D, B) int32 digit planes (little-endian digits)."""
+    values = list(values)
+    out = np.zeros((ndigits, len(values)), dtype=np.int32)
+    for j, v in enumerate(values):
+        v = int(v)
+        assert 0 <= v < (1 << (ndigits * DIGIT_BITS)), "value out of range"
+        for k in range(ndigits):
+            out[k, j] = (v >> (k * DIGIT_BITS)) & DIGIT_MASK
+    return out
+
+
+def planes_to_ints(planes) -> list[int]:
+    """(D, B) digit planes -> list of B Python ints."""
+    planes = np.asarray(planes)
+    d = planes.shape[0]
+    flat = planes.reshape(d, -1)
+    out = []
+    for j in range(flat.shape[1]):
+        v = 0
+        for k in range(d):
+            v |= (int(flat[k, j]) & DIGIT_MASK) << (k * DIGIT_BITS)
+        out.append(v)
+    return out
+
+
+def broadcast_int(value: int, ndigits: int, batch: int) -> np.ndarray:
+    """One value replicated across the batch (wide_bignum_set1, tests/tests.h:10-14)."""
+    return np.repeat(ints_to_planes([value], ndigits), batch, axis=1)
+
+
+def bytes_be_to_planes(data: bytes, ndigits: int) -> np.ndarray:
+    """Big-endian byte strings -> digit planes (bn_from_bytes_BE, serialization.h:12-29).
+
+    ``data`` is the concatenation of B fixed-width big-endian values, each
+    ``ndigits * 2`` bytes.
+    """
+    width = ndigits * DIGIT_BITS // 8
+    assert len(data) % width == 0
+    b = np.frombuffer(data, dtype=np.uint8).reshape(-1, width)
+    # big-endian bytes -> little-endian 16-bit digits
+    hi = b[:, 0::2].astype(np.int32)
+    lo = b[:, 1::2].astype(np.int32)
+    digits_be = (hi << 8) | lo  # (B, D) most-significant digit first
+    return np.ascontiguousarray(digits_be[:, ::-1].T).astype(np.int32)
+
+
+def planes_to_bytes_be(planes) -> bytes:
+    """Digit planes -> concatenated big-endian bytes (bn_to_bytes_BE, serialization.h:31-48)."""
+    planes = np.asarray(planes, dtype=np.int64) & DIGIT_MASK
+    d, b = planes.shape[0], int(np.prod(planes.shape[1:], initial=1))
+    digits_be = planes.reshape(d, b)[::-1].T  # (B, D) msd first
+    out = np.empty((b, d * 2), dtype=np.uint8)
+    out[:, 0::2] = (digits_be >> 8).astype(np.uint8)
+    out[:, 1::2] = (digits_be & 0xFF).astype(np.uint8)
+    return out.tobytes()
