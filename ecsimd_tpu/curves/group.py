@@ -1,0 +1,278 @@
+"""L5: co-Z Jacobian group law + batched constant-time scalar multiplication.
+
+Co-Z arithmetic after Goundar-Joye-Miyaji eprint 2010/309 (the reference cites
+the same paper, ``curve_group.h:61-62``), over GFp digit planes. The ladder is
+the reference's masked-swap signed ladder (``curve_group.h:189-218``) recast
+for XLA: the 254-step loop is a ``lax.fori_loop`` whose body is branch-free —
+per-lane key-bit masks drive ``where``-selects, which is simultaneously the
+constant-time discipline and the only control flow TPUs support. Because both
+ladder registers share one Z by construction, the state carries a single Z
+plane (the reference encodes this as swap_if_same_z, ``swap.h:47-56``).
+
+These functions are pure jnp on plane arrays, so the identical code path runs
+under jit (XLA path) and inside the fused Pallas ladder kernel (kernels/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ecsimd_tpu.field import GFp, gfp_swap_if
+from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+from ecsimd_tpu.ops import bignum as bn
+from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
+
+
+def _curve_consts(curve: CurveSpec, like):
+    """Montgomery-domain curve constants a, b baked in at trace time
+    (the analogue of curve_group.h:31-32's constexpr Am/Bm)."""
+    fs = curve.field
+    am = GFp.constant(curve.a, fs, like)
+    bm = GFp.constant(curve.b, fs, like)
+    return am, bm
+
+
+# --- co-Z primitive steps ------------------------------------------------------
+# Each returns coordinate GFp's; the two output points share one Z.
+
+
+def dblu(x1: GFp, y1: GFp, curve: CurveSpec):
+    """Initial co-Z doubling, Z==1 assumed (curve_group.h:64-87).
+
+    Returns (x2p, y2p, xu, yu, z): 2P and re-represented P with common z.
+    """
+    am, _ = _curve_consts(curve, x1.planes)
+    b = x1.sqr()
+    e = y1.sqr()
+    l = e.sqr()
+    s = ((x1 + e).sqr() - b - l).double()
+    m = b.double() + b + am
+    x2p = m.sqr() - s.double()
+    l8 = l.shift_left(3)
+    y2p = m * (s - x2p) - l8
+    z = y1.double()
+    return x2p, y2p, s, l8, z
+
+
+def zaddu(x1: GFp, y1: GFp, x2: GFp, y2: GFp, z: GFp):
+    """Co-Z addition with update (curve_group.h:91-116).
+
+    (P, Q) with common z -> (P+Q, P') with common z3. Returns
+    (x3, y3, xu, yu, z3).
+    """
+    c = (x1 - x2).sqr()
+    w1 = x1 * c
+    w2 = x2 * c
+    d = (y1 - y2).sqr()
+    a1 = y1 * (w1 - w2)
+    x3 = d - w1 - w2
+    y3 = (y1 - y2) * (w1 - x3) - a1
+    z3 = z * (x1 - x2)
+    return x3, y3, w1, a1, z3
+
+
+def zdau(x1: GFp, y1: GFp, x2: GFp, y2: GFp, z: GFp):
+    """Co-Z double-add with update (curve_group.h:120-153).
+
+    (P, Q) with common z -> (2P+Q, Q') with common z3. Returns
+    (x3, y3, xq, yq, z3). ~9 mul + 7 sqr — the ladder's per-bit cost.
+    """
+    cp = (x1 - x2).sqr()
+    w1p = x1 * cp
+    w2p = x2 * cp
+    dp = (y1 - y2).sqr()
+    a1p = y1 * (w1p - w2p)
+    x3pc = dp - w1p - w2p
+    c = (x3pc - w1p).sqr()
+    a1p2 = a1p.double()
+    y3p = ((y1 - y2) + (w1p - x3pc)).sqr() - dp - c - a1p2
+    w1 = x3pc.shift_left(2) * c
+    w2 = w1p.shift_left(2) * c
+    t_minus = y3p - a1p2
+    d = t_minus.sqr()
+    a1 = y3p * (w1 - w2)
+    x3 = d - w1 - w2
+    y3 = t_minus * (w1 - x3) - a1
+    z3 = z * ((x1 - x2 + x3pc - w1p).sqr() - cp - c)
+    t_plus = y3p + a1p2
+    dc = t_plus.sqr()
+    xq = dc - w1 - w2
+    yq = t_plus * (w1 - xq) - a1
+    return x3, y3, xq, yq, z3
+
+
+def add_z2_1(x1: GFp, y1: GFp, z1: GFp, x2: GFp, y2: GFp):
+    """Mixed add with Z2 == 1 (curve_group.h:155-179). Returns (x3, y3, z3)."""
+    z1z1 = z1.sqr()
+    u2 = x2 * z1z1
+    s2 = y2 * z1 * z1z1
+    h = u2 - x1
+    hh = h.sqr()
+    i = hh.shift_left(2)
+    j = h * i
+    r = (s2 - y1).double()
+    v = x1 * i
+    x3 = r.sqr() - j - v.double()
+    y3 = r * (v - x3) - y1.double() * j
+    z3 = (z1 + h).sqr() - z1z1 - hh
+    return x3, y3, z3
+
+
+def tplu(x1: GFp, y1: GFp, curve: CurveSpec):
+    """Co-Z tripling: (3P, P') with common z (curve_group.h:183-186)."""
+    x2p, y2p, xu, yu, z = dblu(x1, y1, curve)
+    return zaddu(xu, yu, x2p, y2p, z)
+
+
+# --- point-level wrappers (for tests / API parity) -------------------------------
+
+
+def point_dblu(pt: JacobianPoint):
+    x2p, y2p, xu, yu, z = dblu(pt.x, pt.y, pt.curve)
+    return (
+        JacobianPoint(x2p, y2p, z, pt.curve),
+        JacobianPoint(xu, yu, z, pt.curve),
+    )
+
+
+def point_zaddu(p: JacobianPoint, q: JacobianPoint):
+    x3, y3, xu, yu, z3 = zaddu(p.x, p.y, q.x, q.y, p.z)
+    return (
+        JacobianPoint(x3, y3, z3, p.curve),
+        JacobianPoint(xu, yu, z3, p.curve),
+    )
+
+
+def point_zdau(p: JacobianPoint, q: JacobianPoint):
+    x3, y3, xq, yq, z3 = zdau(p.x, p.y, q.x, q.y, p.z)
+    return (
+        JacobianPoint(x3, y3, z3, p.curve),
+        JacobianPoint(xq, yq, z3, p.curve),
+    )
+
+
+def point_tplu(pt: JacobianPoint):
+    x3, y3, xu, yu, z = tplu(pt.x, pt.y, pt.curve)
+    return (
+        JacobianPoint(x3, y3, z, pt.curve),
+        JacobianPoint(xu, yu, z, pt.curve),
+    )
+
+
+def point_add_z2_1(a: JacobianPoint, b: JacobianPoint):
+    x3, y3, z3 = add_z2_1(a.x, a.y, a.z, b.x, b.y)
+    return JacobianPoint(x3, y3, z3, a.curve)
+
+
+# --- point decompression (curve_point_ops.h:12-22, curve_group.h:43-58) ----------
+
+
+def compute_y(x: GFp, curve: CurveSpec):
+    """Solve y^2 = x^3 - 3x + b. Returns (y, ok_mask) per lane."""
+    am, bm = _curve_consts(curve, x.planes)
+    rhs = x.sqr() * x + am * x + bm
+    return rhs.sqrt()
+
+
+def affine_from_x(x_planes, curve: CurveSpec):
+    """Decompress a batch of x coordinates (wide_curve_point::from_x)."""
+    x = GFp.from_classical(x_planes, curve.field)
+    y, ok = compute_y(x, curve)
+    return AffinePoint(x_planes, y.to_classical(), curve), ok
+
+
+# --- the ladder -------------------------------------------------------------------
+
+
+def _bit_at(scalars, i):
+    """Per-lane mask = bit i (traced index) of each lane's scalar."""
+    digit = lax.div(i, DIGIT_BITS)
+    off = lax.rem(i, DIGIT_BITS)
+    plane = lax.dynamic_index_in_dim(scalars, digit, axis=0, keepdims=False)
+    return lax.shift_right_logical(plane, off) & 1
+
+
+def scalar_mult(scalars, pt: JacobianPoint) -> JacobianPoint:
+    """Batched constant-time scalar multiplication: k_i * P_i per lane.
+
+    scalars: (D, *batch) classical digit planes; pt: Jacobian batch with z = 1
+    (from_affine). The reference's scalar_mult (curve_group.h:189-218):
+    force-odd co-Z signed ladder — seed with TRPLU, consume bits 1..nbits-1
+    LSB->MSB with masked co-Z swaps around each ZDAU, then subtract P via
+    ADD_Z2_1 on even lanes. One fori_loop, uniform control flow, single shared
+    Z in the carried state.
+    """
+    curve = pt.curve
+    nbits = curve.field.nbits
+    fs = curve.field
+
+    opp_y = pt.y.opposite()
+    bx, by, ax, ay, z = tplu(pt.x, pt.y, curve)  # base = 3P, acc = P
+
+    m1 = _bit_at(scalars, 1)
+    ax, bx = gfp_swap_if(m1, ax, bx)
+    ay, by = gfp_swap_if(m1, ay, by)
+
+    def body(i, state):
+        ax, ay, bx, by, z = state
+        m = _bit_at(scalars, i)
+        ax, bx = gfp_swap_if(m, ax, bx)
+        ay, by = gfp_swap_if(m, ay, by)
+        bx, by, ax, ay, z = zdau(bx, by, ax, ay, z)
+        ax, bx = gfp_swap_if(m, ax, bx)
+        ay, by = gfp_swap_if(m, ay, by)
+        return ax, ay, bx, by, z
+
+    ax, ay, bx, by, z = lax.fori_loop(2, nbits, body, (ax, ay, bx, by, z))
+
+    # parity fixup: even scalars got (k+1)P in acc; subtract P (curve_group.h:214-217)
+    sx, sy, sz = add_z2_1(ax, ay, z, pt.x, opp_y)
+    meven = 1 - _bit_at(scalars, 0)
+    acc = JacobianPoint(ax, ay, z, curve)
+    sub = JacobianPoint(sx, sy, sz, curve)
+    return sub.select(meven, acc)
+
+
+def scalar_mult_shared(k: int, pt: JacobianPoint) -> JacobianPoint:
+    """One host-constant scalar times a batch of points.
+
+    The analogue of scalar_mult_1s (curve_group.h:221-251). The scalar's bit
+    string is baked into the compiled program as a constant vector, so the
+    per-bit masks are loads from a 1-element constant rather than per-lane
+    bit extractions (the XLA analogue of the reference's host-scalar bit
+    indexing); the parity fixup resolves entirely at trace time.
+    """
+    curve = pt.curve
+    nbits = curve.field.nbits
+    kk = int(k)
+
+    opp_y = pt.y.opposite()
+    bx, by, ax, ay, z = tplu(pt.x, pt.y, curve)
+
+    # A 254-call unroll would blow up the trace; run the same fori_loop ladder
+    # with the bit string as a compiled-in constant.
+    bits = jnp.array([(kk >> i) & 1 for i in range(nbits)], jnp.int32)
+
+    def body(i, state):
+        ax, ay, bx, by, z = state
+        m = jnp.broadcast_to(bits[i], ax.planes.shape[1:])
+        ax, bx = gfp_swap_if(m, ax, bx)
+        ay, by = gfp_swap_if(m, ay, by)
+        bx, by, ax, ay, z = zdau(bx, by, ax, ay, z)
+        ax, bx = gfp_swap_if(m, ax, bx)
+        ay, by = gfp_swap_if(m, ay, by)
+        return ax, ay, bx, by, z
+
+    if (kk >> 1) & 1:
+        (ax, ay), (bx, by) = (bx, by), (ax, ay)
+    ax, ay, bx, by, z = lax.fori_loop(2, nbits, body, (ax, ay, bx, by, z))
+
+    acc = JacobianPoint(ax, ay, z, curve)
+    if kk & 1 == 0:
+        sx, sy, sz = add_z2_1(ax, ay, z, pt.x, opp_y)
+        return JacobianPoint(sx, sy, sz, curve)
+    return acc

@@ -64,6 +64,9 @@ class FieldSpec:
     def R_inv(self) -> int:
         return pow(self.R, -1, self.p)
 
+    def R2_digits(self) -> tuple[int, ...]:
+        return int_to_digits(self.R2_mod_p, self.ndigits)
+
     @functools.cached_property
     def mprime(self) -> int:
         # -p^-1 mod 2^DIGIT_BITS; reference computes -p^-1 mod 2^32 for its
