@@ -1,0 +1,98 @@
+"""L6: the library façade — batched scalar-multiplication entry points.
+
+The analogue of the reference's one compiled entry point
+``scalar_mult_p256(WBN const&, WJCP const&)`` (``lib/scalar_mult_p256.cpp:10-12``),
+widened from 4 SIMD lanes to arbitrary batches and generalized over curves.
+
+Two call styles, mirroring the reference's two ladders:
+  * ``scalar_mult(scalars, points)``      — k_i · P_i per lane (curve_group.h:189)
+  * ``scalar_mult_shared(k, points)``     — one public scalar, many points (curve_group.h:221)
+plus generator-multiple convenience wrappers and host-friendly int interfaces.
+
+Everything here is jit-compiled once per (curve, batch-shape) and cached.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ecsimd_tpu import convert
+from ecsimd_tpu.curves import group
+from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+from ecsimd_tpu.specs import P256, CurveSpec
+
+
+@partial(jax.jit, static_argnames=("curve",))
+def _scalar_mult_planes(scalars, xs, ys, curve: CurveSpec):
+    """(D,*B) scalar planes x classical affine planes -> affine result planes."""
+    pt = JacobianPoint.from_affine(AffinePoint(xs, ys, curve))
+    res = group.scalar_mult(scalars, pt)
+    out = res.to_affine()
+    return out.x, out.y
+
+
+@partial(jax.jit, static_argnames=("curve",))
+def _scalar_mult_shared_planes(xs, ys, kbits, curve: CurveSpec):
+    pt = JacobianPoint.from_affine(AffinePoint(xs, ys, curve))
+    res = group.scalar_mult_shared(kbits, pt)
+    out = res.to_affine()
+    return out.x, out.y
+
+
+def scalar_mult(scalars, points: AffinePoint) -> AffinePoint:
+    """Batched constant-time k_i * P_i (the reference's scalar_mult ladder)."""
+    x, y = _scalar_mult_planes(scalars, points.x, points.y, points.curve)
+    return AffinePoint(x, y, points.curve)
+
+
+def scalar_mult_shared(k: int, points: AffinePoint) -> AffinePoint:
+    """One host scalar times a batch of points (reference scalar_mult_1s).
+
+    The scalar travels as a traced LSB-first bit vector, so one compiled
+    ladder serves every k."""
+    nbits = points.curve.field.nbits
+    kk = int(k)
+    kbits = jnp.array([(kk >> i) & 1 for i in range(nbits)], jnp.int32)
+    x, y = _scalar_mult_shared_planes(points.x, points.y, kbits, points.curve)
+    return AffinePoint(x, y, points.curve)
+
+
+def scalar_mult_p256(scalars, points: AffinePoint) -> AffinePoint:
+    """The reference's exported symbol (lib/scalar_mult_p256.cpp:10-12)."""
+    assert points.curve is P256 or points.curve.name == P256.name
+    return scalar_mult(scalars, points)
+
+
+# --- host-friendly integer interfaces ----------------------------------------
+
+
+def generator_batch(curve: CurveSpec, batch: int) -> AffinePoint:
+    """The curve generator broadcast across a batch."""
+    d = curve.field.ndigits
+    gx = convert.broadcast_int(curve.gx, d, batch)
+    gy = convert.broadcast_int(curve.gy, d, batch)
+    return AffinePoint(jnp.asarray(gx), jnp.asarray(gy), curve)
+
+
+def points_from_ints(xs, ys, curve: CurveSpec) -> AffinePoint:
+    d = curve.field.ndigits
+    return AffinePoint(
+        jnp.asarray(convert.ints_to_planes(xs, d)),
+        jnp.asarray(convert.ints_to_planes(ys, d)),
+        curve,
+    )
+
+
+def scalars_from_ints(ks, curve: CurveSpec):
+    return jnp.asarray(convert.ints_to_planes(ks, curve.field.ndigits))
+
+
+def scalar_mult_ints(ks, xs, ys, curve: CurveSpec = P256):
+    """Pure-int convenience API: returns (x, y) int lists."""
+    pts = points_from_ints(xs, ys, curve)
+    res = scalar_mult(scalars_from_ints(ks, curve), pts)
+    return convert.planes_to_ints(res.x), convert.planes_to_ints(res.y)

@@ -205,6 +205,10 @@ def scalar_mult(scalars, pt: JacobianPoint) -> JacobianPoint:
     LSB->MSB with masked co-Z swaps around each ZDAU, then subtract P via
     ADD_Z2_1 on even lanes. One fori_loop, uniform control flow, single shared
     Z in the carried state.
+
+    Domain (same exclusions as the reference ladder): k in [1, order-1);
+    k = order-1 is even, so the parity fixup computes order*P = infinity and
+    the lane degenerates (z = 0) — the Python oracle raises on the same input.
     """
     curve = pt.curve
     nbits = curve.field.nbits
@@ -237,29 +241,30 @@ def scalar_mult(scalars, pt: JacobianPoint) -> JacobianPoint:
     return sub.select(meven, acc)
 
 
-def scalar_mult_shared(k: int, pt: JacobianPoint) -> JacobianPoint:
-    """One host-constant scalar times a batch of points.
+def scalar_mult_shared(kbits, pt: JacobianPoint) -> JacobianPoint:
+    """One shared scalar times a batch of points.
 
-    The analogue of scalar_mult_1s (curve_group.h:221-251). The scalar's bit
-    string is baked into the compiled program as a constant vector, so the
-    per-bit masks are loads from a 1-element constant rather than per-lane
-    bit extractions (the XLA analogue of the reference's host-scalar bit
-    indexing); the parity fixup resolves entirely at trace time.
-    """
+    The analogue of scalar_mult_1s (curve_group.h:221-251). ``kbits`` is an
+    (nbits,) int32 LSB-first bit vector — a *traced* argument, so one compiled
+    ladder serves every scalar (the reference's host-scalar bit indexing
+    becomes a 1-element load broadcast to the batch, instead of per-lane bit
+    extraction from (D, batch) planes)."""
     curve = pt.curve
     nbits = curve.field.nbits
-    kk = int(k)
 
     opp_y = pt.y.opposite()
     bx, by, ax, ay, z = tplu(pt.x, pt.y, curve)
 
-    # A 254-call unroll would blow up the trace; run the same fori_loop ladder
-    # with the bit string as a compiled-in constant.
-    bits = jnp.array([(kk >> i) & 1 for i in range(nbits)], jnp.int32)
+    def bit(i):
+        return jnp.broadcast_to(kbits[i], ax.planes.shape[1:])
+
+    m1 = bit(1)
+    ax, bx = gfp_swap_if(m1, ax, bx)
+    ay, by = gfp_swap_if(m1, ay, by)
 
     def body(i, state):
         ax, ay, bx, by, z = state
-        m = jnp.broadcast_to(bits[i], ax.planes.shape[1:])
+        m = jnp.broadcast_to(kbits[i], ax.planes.shape[1:])
         ax, bx = gfp_swap_if(m, ax, bx)
         ay, by = gfp_swap_if(m, ay, by)
         bx, by, ax, ay, z = zdau(bx, by, ax, ay, z)
@@ -267,12 +272,11 @@ def scalar_mult_shared(k: int, pt: JacobianPoint) -> JacobianPoint:
         ay, by = gfp_swap_if(m, ay, by)
         return ax, ay, bx, by, z
 
-    if (kk >> 1) & 1:
-        (ax, ay), (bx, by) = (bx, by), (ax, ay)
     ax, ay, bx, by, z = lax.fori_loop(2, nbits, body, (ax, ay, bx, by, z))
 
+    # parity fixup for even scalars, masked on bit 0 (curve_group.h:248-250)
+    sx, sy, sz = add_z2_1(ax, ay, z, pt.x, opp_y)
+    meven = 1 - bit(0)
     acc = JacobianPoint(ax, ay, z, curve)
-    if kk & 1 == 0:
-        sx, sy, sz = add_z2_1(ax, ay, z, pt.x, opp_y)
-        return JacobianPoint(sx, sy, sz, curve)
-    return acc
+    sub = JacobianPoint(sx, sy, sz, curve)
+    return sub.select(meven, acc)

@@ -44,6 +44,22 @@ def zeros_like_planes(a, d: int | None = None):
     return jnp.zeros((d,) + a.shape[1:], I32)
 
 
+def slice_add(x, start: int, v):
+    """x with v added into digit rows [start, start+len(v)), start static.
+
+    Written as static slices + concatenate — the only in-place-update shape
+    Mosaic/Pallas can lower (no scatter, no dynamic_(update_)slice on values);
+    XLA folds it into the same fusion as ``.at[].add`` would produce."""
+    n = v.shape[0]
+    parts = []
+    if start > 0:
+        parts.append(x[:start])
+    parts.append(x[start : start + n] + v)
+    if start + n < x.shape[0]:
+        parts.append(x[start + n :])
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 # --- addition / subtraction (add.h, sub.h) ----------------------------------
 
 
@@ -158,8 +174,8 @@ def _accumulate_product(a, b, square: bool = False):
         p = a[i][None] * b  # (D, batch) int32 wrapping products, exact as u32
         lo = p & DIGIT_MASK
         hi = _shr(p, DIGIT_BITS)
-        acc = acc.at[i : i + d].add(lo)
-        acc = acc.at[i + 1 : i + d + 1].add(hi)
+        acc = slice_add(acc, i, lo)
+        acc = slice_add(acc, i + 1, hi)
     return acc
 
 
@@ -204,8 +220,8 @@ def limb_mul(a, w: int):
     acc = zeros_like_planes(a, d + 2)
     for wi, wd in enumerate((w_lo, w_hi)):
         p = a * jnp.int32(wd)
-        acc = acc.at[wi : wi + d].add(p & DIGIT_MASK)
-        acc = acc.at[wi + 1 : wi + d + 1].add(_shr(p, DIGIT_BITS))
+        acc = slice_add(acc, wi, p & DIGIT_MASK)
+        acc = slice_add(acc, wi + 1, _shr(p, DIGIT_BITS))
     out, _ = normalize(acc)
     return out
 
@@ -215,8 +231,8 @@ def digit_mul(a, q):
     d = ndigits(a)
     p = q[None] * a
     acc = zeros_like_planes(a, d + 1)
-    acc = acc.at[:d].add(p & DIGIT_MASK)
-    acc = acc.at[1:].add(_shr(p, DIGIT_BITS))
+    acc = slice_add(acc, 0, p & DIGIT_MASK)
+    acc = slice_add(acc, 1, _shr(p, DIGIT_BITS))
     out, _ = normalize(acc)
     return out
 

@@ -35,9 +35,14 @@ def _shr(x, n):
 
 
 def _const_planes(digits, like):
-    """Constant digit tuple -> (D, 1, ..) planes broadcasting over the batch."""
-    shape = (len(digits),) + (1,) * (like.ndim - 1)
-    return jnp.array(digits, I32).reshape(shape)
+    """Constant digit tuple -> (D, 1, ..) planes broadcasting over the batch.
+
+    Built from scalar broadcasts (not a jnp.array literal) so the same code
+    traces cleanly inside Pallas kernels, which reject captured array
+    constants; XLA constant-folds the concat away.
+    """
+    shape = (1,) + (1,) * (like.ndim - 1)
+    return jnp.concatenate([jnp.full(shape, int(x), I32) for x in digits])
 
 
 def p_planes(fs: FieldSpec, like):
@@ -90,54 +95,58 @@ def mod_opposite(a, fs: FieldSpec):
 # --- Montgomery reduction / multiplication (mgry_mul.h, mgry_ops.h) ------------
 
 
-def _cios_reduce(cols: list, fs: FieldSpec):
-    """Digit-serial CIOS Montgomery reduction of a redundant column list.
+def _cios_reduce(cols, fs: FieldSpec):
+    """Digit-serial CIOS Montgomery reduction of a redundant column array.
 
-    ``cols`` is a list of 2D (or 2D+1) unnormalized int32 column sums for
-    digit weights 0..2D; consumed destructively. Returns normalized planes of
-    the D-digit result in [0, p) — exactly t*R^-1 mod p (contract:
-    oracle.field.mont_reduce; reference mgry_reduce, mgry_mul.h:84-121).
+    ``cols`` is a (2D+1, *batch) int32 array of unnormalized column sums for
+    digit weights 0..2D. Returns normalized planes of the D-digit result in
+    [0, p) — exactly t*R^-1 mod p (contract: oracle.field.mont_reduce;
+    reference mgry_reduce, mgry_mul.h:84-121).
+
+    The outer loop over the D retired digits is inherently serial (q_i depends
+    on the running sum); the inner digit loop is one vectorized multiply plus
+    two slice-adds, keeping the traced graph at O(D) ops, not O(D^2).
     """
     d = fs.ndigits
     mprime = jnp.int32(fs.mprime)
-    pd = [jnp.int32(x) for x in fs.p_digits]
-    while len(cols) < 2 * d + 1:
-        cols.append(jnp.zeros_like(cols[0]))
+    p_vec = _const_planes(fs.p_digits, cols)
 
     for i in range(d):
         # q = (t_i mod 2^16) * mprime mod 2^16; lower positions are already
         # zeroed and their carries absorbed, so cols[i] is exact mod 2^16.
         q = (cols[i] * mprime) & DIGIT_MASK
-        for j in range(d):
-            prod = q * pd[j]  # < 2^32, exact as u32 bit pattern
-            cols[i + j] = cols[i + j] + (prod & DIGIT_MASK)
-            cols[i + j + 1] = cols[i + j + 1] + _shr(prod, DIGIT_BITS)
+        prod = q[None] * p_vec  # (D, batch), < 2^32, exact as u32 bit pattern
+        cols = bn.slice_add(cols, i, prod & DIGIT_MASK)
+        cols = bn.slice_add(cols, i + 1, _shr(prod, DIGIT_BITS))
         # position i is now = 0 mod 2^16: push its carry and retire it
-        cols[i + 1] = cols[i + 1] + _shr(cols[i], DIGIT_BITS)
+        cols = bn.slice_add(cols, i + 1, _shr(cols[i], DIGIT_BITS)[None])
 
     # result = cols[d..2d] (value < 2p), normalize then one conditional subtract
-    r, carry = bn.normalize(jnp.stack(cols[d : 2 * d]))
+    r, carry = bn.normalize(cols[d : 2 * d])
     carry = carry + cols[2 * d]  # top column (0 or small) folds into carry-out
     return _cond_sub_p(r, carry, fs)
 
 
-def _product_columns(a, b) -> list:
-    """Schoolbook product grid as a redundant column list (len 2D)."""
+def _product_columns(a, b):
+    """Schoolbook product grid as a redundant (2D+1, *batch) column array.
+
+    One (D, D, batch) widening-free multiply, lo/hi split, then D slice-adds —
+    the whole 256-product grid is three vector ops plus 2D accumulations.
+    """
     d = a.shape[0]
-    cols = [jnp.zeros_like(a[0] * b[0]) for _ in range(2 * d + 1)]
+    p = a[:, None] * b[None]  # (D, D, batch) int32, exact as u32 bit patterns
+    lo = p & DIGIT_MASK
+    hi = _shr(p, DIGIT_BITS)
+    cols = jnp.zeros((2 * d + 1,) + a.shape[1:], I32)
     for i in range(d):
-        p = a[i][None] * b
-        lo = p & DIGIT_MASK
-        hi = _shr(p, DIGIT_BITS)
-        for j in range(d):
-            cols[i + j] = cols[i + j] + lo[j]
-            cols[i + j + 1] = cols[i + j + 1] + hi[j]
+        cols = bn.slice_add(cols, i, lo[i])
+        cols = bn.slice_add(cols, i + 1, hi[i])
     return cols
 
 
 def mont_reduce(t, fs: FieldSpec):
     """Montgomery-reduce a 2D-digit normalized value t < R*p (mgry_mul.h:84)."""
-    return _cios_reduce([t[k] for k in range(t.shape[0])], fs)
+    return _cios_reduce(bn.pad(t, 2 * fs.ndigits + 1), fs)
 
 
 def mont_mul(a, b, fs: FieldSpec):
@@ -147,22 +156,11 @@ def mont_mul(a, b, fs: FieldSpec):
 
 
 def mont_sqr(a, fs: FieldSpec):
-    """a^2*R^-1 mod p with symmetric-term sharing: off-diagonal products are
-    computed once and doubled (mgry_ops.h:37-42 fused with mul.h:160-212)."""
-    d = a.shape[0]
-    cols = [jnp.zeros_like(a[0] * a[0]) for _ in range(2 * d + 1)]
-    for i in range(d):
-        # diagonal term
-        p = a[i] * a[i]
-        cols[2 * i] = cols[2 * i] + (p & DIGIT_MASK)
-        cols[2 * i + 1] = cols[2 * i + 1] + _shr(p, DIGIT_BITS)
-        # doubled off-diagonal terms a_i * a_j, j > i
-        for j in range(i + 1, d):
-            p = a[i] * a[j]
-            # 2*p can overflow 32 bits; split first, then double (halves < 2^16)
-            cols[i + j] = cols[i + j] + 2 * (p & DIGIT_MASK)
-            cols[i + j + 1] = cols[i + j + 1] + 2 * _shr(p, DIGIT_BITS)
-    return _cios_reduce(cols, fs)
+    """a^2*R^-1 mod p (mgry_ops.h:37-42). Uses the full vectorized grid: on
+    vector hardware one (D, D, batch) multiply beats the reference's
+    symmetric-term sharing (mul.h:160-212), which exists to save scalar-issue
+    multiplies; the Pallas kernel layer applies the sharing where it pays."""
+    return _cios_reduce(_product_columns(a, a), fs)
 
 
 def mont_from_classical(a, fs: FieldSpec):

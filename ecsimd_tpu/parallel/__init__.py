@@ -1,0 +1,84 @@
+"""Device-mesh batch parallelism — the reference's 4-lane axis at pod scale.
+
+The reference's only parallelism is a 4-wide SIMD batch axis baked into its
+types (``bignum.h:102``); lanes never communicate (``swap_if``/``if_else`` are
+lane-local selects). The TPU-native generalization is a 1-D (or flattened N-D)
+device mesh with the batch axis sharded over it via ``NamedSharding`` — XLA
+inserts zero collectives for the ladder itself; the only communication is the
+optional result gather, riding ICI.
+
+Multi-host: call :func:`initialize_distributed` once per process before any
+other JAX call; per-host shards then address the global batch through
+``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ecsimd_tpu.curves.point import AffinePoint
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:
+    """A 1-D mesh over all (or the given) devices; the batch-lane axis."""
+    devices = jax.devices() if devices is None else list(devices)
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def plane_sharding(mesh: Mesh, axis_name: str = BATCH_AXIS) -> NamedSharding:
+    """Sharding for (D, *batch) plane arrays: digit axis replicated, batch split.
+
+    The digit axis is tiny (16 for 256-bit) and every digit of a lane is used
+    by the same chip at every step, so only the trailing batch axis shards.
+    """
+    return NamedSharding(mesh, P(None, axis_name))
+
+
+def shard_planes(planes, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Place a (D, B) plane array (batch divisible by mesh size) on the mesh."""
+    return jax.device_put(planes, plane_sharding(mesh, axis_name))
+
+
+def shard_points(pts: AffinePoint, mesh: Mesh, axis_name: str = BATCH_AXIS) -> AffinePoint:
+    return AffinePoint(
+        shard_planes(pts.x, mesh, axis_name),
+        shard_planes(pts.y, mesh, axis_name),
+        pts.curve,
+    )
+
+
+def pad_batch(planes, multiple: int):
+    """Right-pad the batch axis to a multiple (lane-padding for mesh division).
+
+    Padding lanes are broadcast copies of lane 0 so the padded ladder stays on
+    valid curve points (SURVEY.md §7 batch-edge hazard); callers slice the
+    result back to the true batch.
+    """
+    b = planes.shape[-1]
+    rem = (-b) % multiple
+    if rem == 0:
+        return planes, b
+    fill = jnp.broadcast_to(planes[..., :1], planes.shape[:-1] + (rem,))
+    return jnp.concatenate([planes, fill], axis=-1), b
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up: jax.distributed.initialize passthrough.
+
+    The TPU-native replacement for a NCCL/MPI backend (the reference has none;
+    SURVEY.md §2.3): after this, jax.devices() spans the pod slice and the same
+    mesh/sharding code runs unchanged.
+    """
+    jax.distributed.initialize(**kwargs)
+
+
+def local_batch_to_global(planes, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Assemble per-process local plane shards into one global sharded array."""
+    return jax.make_array_from_process_local_data(plane_sharding(mesh, axis_name), np.asarray(planes))

@@ -8,15 +8,30 @@ calls for). Must set env vars before the first jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may point JAX at a tunneled TPU
+# (JAX_PLATFORMS=axon), which serializes every unit-test compile through one
+# remote chip. Unit tests are correctness tests; only bench.py uses the TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# Persistent compilation cache: the suite compiles many mid-sized programs
-# (ladders, pow chains); cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+# Config API, not env vars: sitecustomize imports jax at interpreter start
+# (axon PJRT plugin), so env vars set here lose to the registered plugin /
+# already-read config. The config updates below reliably win.
+jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite compiles a few large programs
+# (254-step ladders, 256-bit pow chains) at ~2 min each on CPU; cache them
+# across runs so only the first run pays.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import random
 

@@ -1,0 +1,62 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed axis (SURVEY.md §2.3); this validates the
+pod-scale batch-parallel layer: NamedSharding placement, sharded field kernels,
+and the full sharded scalar-mult step (the same path __graft_entry__.dryrun
+exercises)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecsimd_tpu import api, convert, parallel
+from ecsimd_tpu.ops import mont
+from ecsimd_tpu.specs import P256, P256_FIELD
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return parallel.make_mesh(jax.devices()[:8])
+
+
+def test_sharded_placement(mesh):
+    d = P256_FIELD.ndigits
+    planes = jnp.asarray(convert.ints_to_planes(list(range(1, 17)), d))
+    sharded = parallel.shard_planes(planes, mesh)
+    assert sharded.sharding.spec == jax.sharding.PartitionSpec(None, "batch")
+    assert convert.planes_to_ints(np.asarray(sharded)) == list(range(1, 17))
+
+
+def test_sharded_mont_mul_matches_oracle(mesh, rng):
+    d = P256_FIELD.ndigits
+    fs = P256_FIELD
+    a_ints = [rng.randrange(fs.p) for _ in range(16)]
+    b_ints = [rng.randrange(fs.p) for _ in range(16)]
+    a = parallel.shard_planes(jnp.asarray(convert.ints_to_planes(a_ints, d)), mesh)
+    b = parallel.shard_planes(jnp.asarray(convert.ints_to_planes(b_ints, d)), mesh)
+
+    sh = parallel.plane_sharding(mesh)
+    f = jax.jit(lambda x, y: mont.mont_mul(x, y, fs), in_shardings=(sh, sh), out_shardings=sh)
+    got = convert.planes_to_ints(np.asarray(f(a, b)))
+    Rinv = fs.R_inv
+    want = [ai * bi * Rinv % fs.p for ai, bi in zip(a_ints, b_ints)]
+    assert got == want
+
+
+def test_pad_batch():
+    d = P256_FIELD.ndigits
+    planes = jnp.asarray(convert.ints_to_planes([7, 11, 13], d))
+    padded, true_b = parallel.pad_batch(planes, 8)
+    assert padded.shape[-1] == 8 and true_b == 3
+    vals = convert.planes_to_ints(np.asarray(padded))
+    assert vals[:3] == [7, 11, 13] and all(v == 7 for v in vals[3:])
+
+
+def test_dryrun_entry():
+    # the driver's multichip dry run, in-process (8 virtual devices)
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
