@@ -18,6 +18,15 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache (config API: env vars lose to the axon plugin)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     import jax.numpy as jnp
 
     from ecsimd_tpu import convert
@@ -29,7 +38,7 @@ def main():
 
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    tile = int(os.environ.get("BENCH_TILE", "512"))
+    tile = int(os.environ.get("BENCH_TILE", "2048"))
     d = P256.field.ndigits
 
     rng = np.random.default_rng(0xEC51)

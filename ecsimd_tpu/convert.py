@@ -7,9 +7,30 @@ values into wide lanes (``tests/tests.h:10-14``). Pure NumPy; runs on host.
 
 from __future__ import annotations
 
+import ctypes
+import os
+
 import numpy as np
 
 from ecsimd_tpu.specs import DIGIT_BITS, DIGIT_MASK
+
+
+def _load_native():
+    """Native packing library (native/ecpack.cpp) — the C++ fast path for the
+    reference's serialization layer; NumPy fallback when not built."""
+    path = os.path.join(os.path.dirname(__file__), "..", "native", "libecpack.so")
+    try:
+        lib = ctypes.CDLL(os.path.abspath(path))
+    except OSError:
+        return None
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.ec_bytes_be_to_planes.argtypes = [i8p, i32p, ctypes.c_int64, ctypes.c_int32]
+    lib.ec_planes_to_bytes_be.argtypes = [i32p, i8p, ctypes.c_int64, ctypes.c_int32]
+    return lib
+
+
+_NATIVE = _load_native()
 
 
 def ints_to_planes(values, ndigits: int) -> np.ndarray:
@@ -47,10 +68,21 @@ def bytes_be_to_planes(data: bytes, ndigits: int) -> np.ndarray:
     """Big-endian byte strings -> digit planes (bn_from_bytes_BE, serialization.h:12-29).
 
     ``data`` is the concatenation of B fixed-width big-endian values, each
-    ``ndigits * 2`` bytes.
+    ``ndigits * 2`` bytes. Uses the native C++ packer when built.
     """
     width = ndigits * DIGIT_BITS // 8
     assert len(data) % width == 0
+    n = len(data) // width
+    if _NATIVE is not None and n:
+        src = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty((ndigits, n), dtype=np.int32)
+        _NATIVE.ec_bytes_be_to_planes(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            ndigits,
+        )
+        return out
     b = np.frombuffer(data, dtype=np.uint8).reshape(-1, width)
     # big-endian bytes -> little-endian 16-bit digits
     hi = b[:, 0::2].astype(np.int32)
@@ -61,8 +93,19 @@ def bytes_be_to_planes(data: bytes, ndigits: int) -> np.ndarray:
 
 def planes_to_bytes_be(planes) -> bytes:
     """Digit planes -> concatenated big-endian bytes (bn_to_bytes_BE, serialization.h:31-48)."""
-    planes = np.asarray(planes, dtype=np.int64) & DIGIT_MASK
-    d, b = planes.shape[0], int(np.prod(planes.shape[1:], initial=1))
+    arr = np.asarray(planes)
+    d, b = arr.shape[0], int(np.prod(arr.shape[1:], initial=1))
+    if _NATIVE is not None and b and arr.dtype == np.int32:
+        src = np.ascontiguousarray(arr.reshape(d, b))
+        out = np.empty(b * d * 2, dtype=np.uint8)
+        _NATIVE.ec_planes_to_bytes_be(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            b,
+            d,
+        )
+        return out.tobytes()
+    planes = arr.astype(np.int64) & DIGIT_MASK
     digits_be = planes.reshape(d, b)[::-1].T  # (B, D) msd first
     out = np.empty((b, d * 2), dtype=np.uint8)
     out[:, 0::2] = (digits_be >> 8).astype(np.uint8)

@@ -28,12 +28,10 @@ from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
 
 
 def _curve_consts(curve: CurveSpec, like):
-    """Montgomery-domain curve constants a, b baked in at trace time
-    (the analogue of curve_group.h:31-32's constexpr Am/Bm)."""
-    fs = curve.field
-    am = GFp.constant(curve.a, fs, like)
-    bm = GFp.constant(curve.b, fs, like)
-    return am, bm
+    """Internal-domain curve constants a, b baked in at trace time (the
+    analogue of curve_group.h:31-32's constexpr Am/Bm). ``like`` is any field
+    element of the right batch type (GFp or kernel-side VGFp)."""
+    return like.const_like(curve.a), like.const_like(curve.b)
 
 
 # --- co-Z primitive steps ------------------------------------------------------
@@ -45,7 +43,7 @@ def dblu(x1: GFp, y1: GFp, curve: CurveSpec):
 
     Returns (x2p, y2p, xu, yu, z): 2P and re-represented P with common z.
     """
-    am, _ = _curve_consts(curve, x1.planes)
+    am, _ = _curve_consts(curve, x1)
     b = x1.sqr()
     e = y1.sqr()
     l = e.sqr()
@@ -173,7 +171,7 @@ def point_add_z2_1(a: JacobianPoint, b: JacobianPoint):
 
 def compute_y(x: GFp, curve: CurveSpec):
     """Solve y^2 = x^3 - 3x + b. Returns (y, ok_mask) per lane."""
-    am, bm = _curve_consts(curve, x.planes)
+    am, bm = _curve_consts(curve, x)
     rhs = x.sqr() * x + am * x + bm
     return rhs.sqrt()
 

@@ -14,8 +14,51 @@ import jax
 import jax.numpy as jnp
 
 from ecsimd_tpu.ops import bignum as bn
-from ecsimd_tpu.ops import mont
+from ecsimd_tpu.ops import mont, solinas
 from ecsimd_tpu.specs import FieldSpec, int_to_digits
+
+
+# --- reduction-strategy dispatch ---------------------------------------------
+# Montgomery (generic primes; the reference's only strategy) stores residues
+# x*R mod p; Solinas (NIST primes) stores plain residues with multiply-free
+# reduction. GFp hides the distinction behind one interface.
+
+
+def _mul_planes(a, b, fs: FieldSpec):
+    if fs.reduction == "solinas":
+        return solinas.fast_mul(a, b, fs)
+    return mont.mont_mul(a, b, fs)
+
+
+def _sqr_planes(a, fs: FieldSpec):
+    if fs.reduction == "solinas":
+        return solinas.fast_sqr(a, fs)
+    return mont.mont_sqr(a, fs)
+
+
+def _one_planes(fs: FieldSpec, like):
+    if fs.reduction == "solinas":
+        one = mont._const_planes(int_to_digits(1, fs.ndigits), like)
+        return jnp.broadcast_to(one, like.shape)
+    return mont.mont_one(fs, like)
+
+
+def _pow_const_planes(am, e: int, fs: FieldSpec):
+    """Square-and-multiply with a compile-time public exponent, generic over
+    the reduction strategy (structure of mont.mont_pow_const)."""
+    from jax import lax
+
+    if e == 0:
+        return _one_planes(fs, am)
+    nb = e.bit_length()
+    ebits = jnp.array([(e >> (nb - 1 - i)) & 1 for i in range(nb)], jnp.int32)
+
+    def body(i, acc):
+        acc = _sqr_planes(acc, fs)
+        m = _mul_planes(acc, am, fs)
+        return bn.select(jnp.broadcast_to(ebits[i], acc.shape[1:]), m, acc)
+
+    return lax.fori_loop(1, nb, body, am)
 
 
 @jax.tree_util.register_dataclass
@@ -30,7 +73,10 @@ class GFp:
 
     @classmethod
     def from_classical(cls, planes, fs: FieldSpec) -> "GFp":
-        """classical planes -> Montgomery domain (gfp via mgry.h:47-50)."""
+        """classical planes -> internal domain (Montgomery for generic primes,
+        mgry.h:47-50; identity for Solinas primes)."""
+        if fs.reduction == "solinas":
+            return cls(planes, fs)
         return cls(mont.mont_from_classical(planes, fs), fs)
 
     @classmethod
@@ -39,15 +85,15 @@ class GFp:
 
     @classmethod
     def constant(cls, value: int, fs: FieldSpec, like) -> "GFp":
-        """Compile-time constant, pre-converted to Montgomery domain on host."""
-        m = (value << fs.nbits) % fs.p
+        """Compile-time constant, pre-converted to the internal domain on host."""
+        m = value % fs.p if fs.reduction == "solinas" else (value << fs.nbits) % fs.p
         c = mont._const_planes(int_to_digits(m, fs.ndigits), like)
         return cls(jnp.broadcast_to(c, like.shape), fs)
 
     @classmethod
     def one(cls, fs: FieldSpec, like) -> "GFp":
-        """mont(1) = R mod p (gfp.h:30-32)."""
-        return cls(mont.mont_one(fs, like), fs)
+        """The internal-domain 1 (R mod p for Montgomery, gfp.h:30-32)."""
+        return cls(_one_planes(fs, like), fs)
 
     @classmethod
     def zero(cls, fs: FieldSpec, like) -> "GFp":
@@ -56,6 +102,8 @@ class GFp:
     # -- accessors -----------------------------------------------------------
 
     def to_classical(self):
+        if self.fs.reduction == "solinas":
+            return self.planes
         return mont.mont_to_classical(self.planes, self.fs)
 
     @property
@@ -71,10 +119,10 @@ class GFp:
         return GFp(mont.mod_sub(self.planes, o.planes, self.fs), self.fs)
 
     def __mul__(self, o: "GFp") -> "GFp":
-        return GFp(mont.mont_mul(self.planes, o.planes, self.fs), self.fs)
+        return GFp(_mul_planes(self.planes, o.planes, self.fs), self.fs)
 
     def sqr(self) -> "GFp":
-        return GFp(mont.mont_sqr(self.planes, self.fs), self.fs)
+        return GFp(_sqr_planes(self.planes, self.fs), self.fs)
 
     def double(self) -> "GFp":
         return GFp(mont.mod_shift_left_one(self.planes, self.fs), self.fs)
@@ -88,7 +136,7 @@ class GFp:
         return GFp(mont.mod_opposite(self.planes, self.fs), self.fs)
 
     def pow_const(self, e: int) -> "GFp":
-        return GFp(mont.mont_pow_const(self.planes, e, self.fs), self.fs)
+        return GFp(_pow_const_planes(self.planes, e, self.fs), self.fs)
 
     def inverse(self) -> "GFp":
         """Fermat inversion x^(p-2) (gfp.h:42-44). inverse(0) = 0."""
@@ -117,8 +165,12 @@ class GFp:
         """mask ? self : other, per lane (ifelse.h:15-49)."""
         return GFp(bn.select(mask, self.planes, other.planes), self.fs)
 
+    def const_like(self, value: int) -> "GFp":
+        """Compile-time field constant shaped like self (internal domain)."""
+        return GFp.constant(value, self.fs, self.planes)
 
-def gfp_swap_if(mask, a: GFp, b: GFp) -> tuple[GFp, GFp]:
-    """Constant-time masked swap (swap.h:15-45)."""
-    pa, pb = bn.swap_if(mask, a.planes, b.planes)
-    return GFp(pa, a.fs), GFp(pb, b.fs)
+
+def gfp_swap_if(mask, a, b):
+    """Constant-time masked swap (swap.h:15-45). Generic over the element
+    type (XLA-path GFp or kernel-side VGFp) via .select."""
+    return b.select(mask, a), a.select(mask, b)

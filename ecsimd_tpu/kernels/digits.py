@@ -1,0 +1,267 @@
+"""Kernel-side field arithmetic over per-digit vector registers.
+
+Inside a Pallas kernel, a bignum batch is a *Python list* of D int32 arrays,
+each shaped (S, 128) — one full VPU vreg tile per digit. This is exactly the
+reference's register layout (each 64-bit limb lives in its own AVX2 register,
+``bignum.h:38-102``) transplanted to the TPU: digit indexing is free at trace
+time, every op is a whole-register elementwise instruction, and none of the
+sublane shuffles/copies that (D, T) plane slicing costs in Mosaic ever happen.
+
+``VGFp`` duck-types the XLA-path ``field.GFp`` (operators, sqr, double,
+shift_left, opposite, select, const_like), so the co-Z group-law code in
+curves/group.py traces unchanged inside kernels.
+
+Reduction dispatch mirrors field.py: Solinas fast reduction for NIST primes
+(plain domain), CIOS Montgomery for generic primes (Montgomery domain) —
+constants and bound proofs shared with ops/solinas.py / ops/mont.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ecsimd_tpu.ops import solinas
+from ecsimd_tpu.specs import DIGIT_BITS, DIGIT_MASK, FieldSpec, int_to_digits
+
+I32 = jnp.int32
+
+
+def _shr(x, n):
+    return lax.shift_right_logical(x, jnp.int32(n))
+
+
+# --- digit-list primitives ----------------------------------------------------
+
+
+def normalize(rows, d):
+    """Unsigned redundant digits -> [0, 2^16) digits + carry (all nonnegative)."""
+    outs = []
+    carry = None
+    for k in range(d):
+        t = rows[k] if carry is None else rows[k] + carry
+        outs.append(t & DIGIT_MASK)
+        carry = _shr(t, DIGIT_BITS)
+    return outs, carry
+
+
+def normalize_signed(rows, d):
+    """Signed redundant digits -> [0, 2^16) digits + signed carry (int32 >> is
+    arithmetic, so t = (t>>16)*2^16 + (t&MASK) holds for negatives too)."""
+    outs = []
+    carry = None
+    for k in range(d):
+        t = rows[k] if carry is None else rows[k] + carry
+        outs.append(t & DIGIT_MASK)
+        carry = t >> DIGIT_BITS
+    return outs, carry
+
+
+def sub_borrow(a, b):
+    """Digit-wise a - b with borrow ripple; returns (digits, borrow mask)."""
+    outs = []
+    borrow = None
+    for ak, bk in zip(a, b):
+        t = ak - bk if borrow is None else ak - bk - borrow
+        borrow = _shr(t, 31)
+        outs.append(t & DIGIT_MASK)
+    return outs, borrow
+
+
+def select(mask, a, b):
+    """mask ? a : b per lane (digit lists)."""
+    m = mask.astype(bool)
+    return [jnp.where(m, x, y) for x, y in zip(a, b)]
+
+
+def _p_digits(fs: FieldSpec):
+    return [jnp.int32(x) for x in fs.p_digits]
+
+
+def cond_sub_p(digs, carry, fs: FieldSpec):
+    """Subtract p iff carry-out or digs >= p (one conditional subtract)."""
+    d, borrow = sub_borrow(digs, _p_digits(fs))
+    take = (1 - borrow) if carry is None else (carry | (1 - borrow))
+    return select(take, d, digs)
+
+
+# --- modular add/sub/double/opposite (modular.h semantics) --------------------
+
+
+def mod_add(a, b, fs: FieldSpec):
+    s, carry = normalize([x + y for x, y in zip(a, b)], fs.ndigits)
+    return cond_sub_p(s, carry, fs)
+
+
+def mod_sub(a, b, fs: FieldSpec):
+    d, borrow = sub_borrow(a, b)
+    dd, _ = normalize([x + y for x, y in zip(d, _p_digits(fs))], fs.ndigits)
+    return select(borrow, dd, d)
+
+
+def mod_double(a, fs: FieldSpec):
+    nd = fs.ndigits
+    out = [((a[k] << 1) & DIGIT_MASK) | (_shr(a[k - 1], DIGIT_BITS - 1) if k else 0) for k in range(nd)]
+    carry = _shr(a[nd - 1], DIGIT_BITS - 1)
+    return cond_sub_p(out, carry, fs)
+
+
+def mod_opposite(a, fs: FieldSpec):
+    d, _ = sub_borrow(_p_digits(fs), a)
+    zero = None
+    for x in a:
+        zero = (x == 0) if zero is None else (zero & (x == 0))
+    m = zero.astype(I32)
+    return select(m, a, d)
+
+
+# --- multiplication -----------------------------------------------------------
+
+
+def _grid(a, b, d):
+    """Schoolbook digit grid into 2d+1 redundant columns (unrolled, per-vreg)."""
+    cols = [None] * (2 * d + 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(d):
+        for j in range(d):
+            pr = a[i] * b[j]
+            acc(i + j, pr & DIGIT_MASK)
+            acc(i + j + 1, _shr(pr, DIGIT_BITS))
+    return [c if c is not None else jnp.zeros_like(a[0]) for c in cols]
+
+
+def _grid_sqr(a, d):
+    """Triangular squaring grid (off-diagonals once, doubled; mul.h:160-212)."""
+    cols = [None] * (2 * d + 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for i in range(d):
+        pr = a[i] * a[i]
+        acc(2 * i, pr & DIGIT_MASK)
+        acc(2 * i + 1, _shr(pr, DIGIT_BITS))
+        for j in range(i + 1, d):
+            pr = a[i] * a[j]
+            acc(i + j, (pr & DIGIT_MASK) << 1)
+            acc(i + j + 1, _shr(pr, DIGIT_BITS) << 1)
+    return [c if c is not None else jnp.zeros_like(a[0]) for c in cols]
+
+
+def _solinas_reduce_list(cols, fs: FieldSpec, col_bound: int = 1 << 22):
+    """List-based Solinas reduction; same plan/bounds as ops/solinas.py."""
+    d = fs.ndigits
+    nwords = d // solinas.DIGITS_PER_WORD
+    ncols = len(cols)
+    mat, offset_digits, c1_max = solinas._plan(fs, ncols, col_bound)
+    assert c1_max * ((1 << fs.nbits) % fs.p) < (1 << fs.nbits)
+    cterms = solinas._cbar_digit_terms(fs)
+
+    r = [cols[k] + jnp.int32(offset_digits[k]) for k in range(d)]
+    extra_carry = jnp.int32(offset_digits[d])
+    for dk in range(d, ncols):
+        h, par = divmod(dk, solinas.DIGITS_PER_WORD)
+        for w, c in mat[h - nwords]:
+            k = w * solinas.DIGITS_PER_WORD + par
+            r[k] = r[k] + (cols[dk] if c == 1 else (-cols[dk] if c == -1 else jnp.int32(c) * cols[dk]))
+
+    w1, c1 = normalize_signed(r, d)
+    c1 = c1 + extra_carry
+
+    def fold(w, c):
+        rows = list(w)
+        for pos, coef in cterms:
+            rows[pos] = rows[pos] + (c if coef == 1 else (-c if coef == -1 else jnp.int32(coef) * c))
+        return normalize_signed(rows, d)
+
+    w2, c2 = fold(w1, c1)
+    w3, c3 = fold(w2, c2)
+    w4, c4 = fold(w3, c3)  # c4 = 0 by the w3 < cbar argument (ops/solinas.py)
+    return cond_sub_p(w4, c4, fs)
+
+
+def _cios_reduce_list(cols, fs: FieldSpec):
+    """List-based CIOS Montgomery reduction (mgry_reduce, mgry_mul.h:84-121)."""
+    d = fs.ndigits
+    mprime = jnp.int32(fs.mprime)
+    pd = [jnp.int32(x) for x in fs.p_digits]
+    cols = list(cols) + [jnp.zeros_like(cols[0])] * (2 * d + 1 - len(cols))
+    for i in range(d):
+        q = (cols[i] * mprime) & DIGIT_MASK
+        for j in range(d):
+            pr = q * pd[j]
+            cols[i + j] = cols[i + j] + (pr & DIGIT_MASK)
+            cols[i + j + 1] = cols[i + j + 1] + _shr(pr, DIGIT_BITS)
+        cols[i + 1] = cols[i + 1] + _shr(cols[i], DIGIT_BITS)
+    r, carry = normalize(cols[d : 2 * d], d)
+    return cond_sub_p(r, carry + cols[2 * d], fs)
+
+
+def field_mul(a, b, fs: FieldSpec):
+    if fs.reduction == "solinas":
+        return _solinas_reduce_list(_grid(a, b, fs.ndigits), fs)
+    return _cios_reduce_list(_grid(a, b, fs.ndigits), fs)
+
+
+def field_sqr(a, fs: FieldSpec):
+    if fs.reduction == "solinas":
+        return _solinas_reduce_list(_grid_sqr(a, fs.ndigits), fs)
+    return _cios_reduce_list(_grid_sqr(a, fs.ndigits), fs)
+
+
+# --- GFp-compatible element wrapper ------------------------------------------
+
+
+class VGFp:
+    """Duck-typed field.GFp over digit-list vregs (kernel-internal)."""
+
+    __slots__ = ("digs", "fs")
+
+    def __init__(self, digs, fs: FieldSpec):
+        self.digs = list(digs)
+        self.fs = fs
+
+    # group.py compatibility surface
+    @property
+    def planes(self):  # used only for shape probing (ladder mask broadcast)
+        return self.digs[0][None]
+
+    def const_like(self, value: int) -> "VGFp":
+        m = value % self.fs.p
+        if self.fs.reduction != "solinas":
+            m = (value << self.fs.nbits) % self.fs.p
+        like = self.digs[0]
+        return VGFp(
+            [jnp.full(like.shape, int(x), I32) for x in int_to_digits(m, self.fs.ndigits)],
+            self.fs,
+        )
+
+    def __add__(self, o):
+        return VGFp(mod_add(self.digs, o.digs, self.fs), self.fs)
+
+    def __sub__(self, o):
+        return VGFp(mod_sub(self.digs, o.digs, self.fs), self.fs)
+
+    def __mul__(self, o):
+        return VGFp(field_mul(self.digs, o.digs, self.fs), self.fs)
+
+    def sqr(self):
+        return VGFp(field_sqr(self.digs, self.fs), self.fs)
+
+    def double(self):
+        return VGFp(mod_double(self.digs, self.fs), self.fs)
+
+    def shift_left(self, count: int):
+        d = self.digs
+        for _ in range(count):
+            d = mod_double(d, self.fs)
+        return VGFp(d, self.fs)
+
+    def opposite(self):
+        return VGFp(mod_opposite(self.digs, self.fs), self.fs)
+
+    def select(self, mask, other: "VGFp") -> "VGFp":
+        return VGFp(select(mask, self.digs, other.digs), self.fs)

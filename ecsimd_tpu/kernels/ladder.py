@@ -2,17 +2,19 @@
 
 The XLA path (curves/group.py) round-trips the 5-coordinate ladder state
 through HBM every fori_loop iteration. This kernel pins the whole state —
-scalars + (ax, ay, bx, by, z) digit planes for a batch tile — in VMEM for all
-254 steps, so the per-step traffic is zero and throughput is set by VPU int32
-arithmetic (the reference's analogous move is keeping the 4-lane state in AVX2
-registers for the whole ladder, curve_group.h:189-218).
+scalars + (ax, ay, bx, by, z) — in VMEM/vregs for all 254 steps; per-step
+memory traffic is zero and throughput is set by VPU int32 arithmetic.
 
-Layout per tile: (D, T) int32 planes, T lanes on the minor (vector-lane) axis.
-The grid walks batch tiles; Pallas double-buffers the HBM loads/stores.
+Data layout: a batch tile of S*L lanes (L = 128 vector lanes, S sublanes) is
+held as per-digit (S, L) registers — a Python list of D arrays. This is the
+reference's register file layout (one AVX2 register per limb, bignum.h:38-102)
+mapped onto the VPU: digit indexing is free, every instruction is a full-vreg
+elementwise op, and none of the sublane shuffles that (D, T) plane slicing
+costs in Mosaic ever happen (measured ~2x). The group-law formulas trace
+unchanged from curves/group.py via the duck-typed VGFp element.
 
-The group-law arithmetic is the *same* pure-jnp code as the XLA path
-(curves/group.py, ops/mont.py) — traced into the kernel body; only the memory
-orchestration differs.
+Grid: (B / tile,) programs, each running the full ladder for its tile;
+Pallas double-buffers the HBM loads/stores across grid steps.
 """
 
 from __future__ import annotations
@@ -27,78 +29,104 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.field import GFp, gfp_swap_if
 from ecsimd_tpu.curves import group
+from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
 
-DEFAULT_TILE = 512
+DEFAULT_TILE = 2048
+LANES = 128
 
 
 def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
     fs = curve.field
+    d = fs.ndigits
     nbits = fs.nbits
 
-    x = GFp.from_mont(x_ref[:], fs)
-    y = GFp.from_mont(y_ref[:], fs)
+    x = VGFp([x_ref[0, k] for k in range(d)], fs)
+    y = VGFp([y_ref[0, k] for k in range(d)], fs)
 
     opp_y = y.opposite()
     bx, by, ax, ay, z = group.tplu(x, y, curve)
 
     def bit_at(i):
-        # dynamic row read from the VMEM ref (Mosaic supports dynamic ref
-        # slicing, not dynamic_slice on values)
         digit = lax.div(i, DIGIT_BITS)
         off = lax.rem(i, DIGIT_BITS)
-        plane = scalars_ref[pl.ds(digit, 1), :][0]
+        plane = scalars_ref[0, pl.ds(digit, 1)][0]  # (S, L)
         return lax.shift_right_logical(plane, off) & 1
 
+    def swap2(m, a, b):
+        return gfp_swap_if(m, a, b)
+
     m1 = bit_at(1)
-    ax, bx = gfp_swap_if(m1, ax, bx)
-    ay, by = gfp_swap_if(m1, ay, by)
+    ax, bx = swap2(m1, ax, bx)
+    ay, by = swap2(m1, ay, by)
 
     def body(i, state):
-        ax, ay, bx, by, z = state
+        axd, ayd, bxd, byd, zd = state
+        ax, ay = VGFp(axd, fs), VGFp(ayd, fs)
+        bx, by = VGFp(bxd, fs), VGFp(byd, fs)
+        zz = VGFp(zd, fs)
         m = bit_at(i)
-        ax, bx = gfp_swap_if(m, ax, bx)
-        ay, by = gfp_swap_if(m, ay, by)
-        bx, by, ax, ay, z = group.zdau(bx, by, ax, ay, z)
-        ax, bx = gfp_swap_if(m, ax, bx)
-        ay, by = gfp_swap_if(m, ay, by)
-        return ax, ay, bx, by, z
+        ax, bx = swap2(m, ax, bx)
+        ay, by = swap2(m, ay, by)
+        bx, by, ax, ay, zz = group.zdau(bx, by, ax, ay, zz)
+        ax, bx = swap2(m, ax, bx)
+        ay, by = swap2(m, ay, by)
+        return ax.digs, ay.digs, bx.digs, by.digs, zz.digs
 
-    ax, ay, bx, by, z = lax.fori_loop(2, nbits, body, (ax, ay, bx, by, z))
+    axd, ayd, bxd, byd, zd = lax.fori_loop(
+        2, nbits, body, (ax.digs, ay.digs, bx.digs, by.digs, z.digs)
+    )
+    ax, ay, z = VGFp(axd, fs), VGFp(ayd, fs), VGFp(zd, fs)
 
     # parity fixup for even scalars (curve_group.h:214-217)
     sx, sy, sz = group.add_z2_1(ax, ay, z, x, opp_y)
     meven = 1 - bit_at(0)
-    ax_ref[:] = jnp.where(meven[None].astype(bool), sx.planes, ax.planes)
-    ay_ref[:] = jnp.where(meven[None].astype(bool), sy.planes, ay.planes)
-    z_ref[:] = jnp.where(meven[None].astype(bool), sz.planes, z.planes)
+    ax = sx.select(meven, ax)
+    ay = sy.select(meven, ay)
+    z = sz.select(meven, z)
+    for k in range(d):
+        ax_ref[0, k] = ax.digs[k]
+        ay_ref[0, k] = ay.digs[k]
+        z_ref[0, k] = z.digs[k]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("curve", "tile", "interpret")
-)
-def ladder_mont_planes(scalars, xm, ym, curve: CurveSpec, tile: int = DEFAULT_TILE, interpret: bool = False):
-    """Run the ladder kernel on Montgomery-domain affine planes (z = 1).
+@functools.partial(jax.jit, static_argnames=("curve", "tile", "interpret"))
+def ladder_mont_planes(
+    scalars, xm, ym, curve: CurveSpec, tile: int = DEFAULT_TILE, interpret: bool = False
+):
+    """Run the ladder kernel on internal-domain affine planes (z = 1).
 
-    scalars: (D, B) classical digit planes; xm, ym: (D, B) Montgomery planes.
-    Returns Montgomery Jacobian (ax, ay, z) planes. B must be a multiple of
-    ``tile`` (use parallel.pad_batch upstream).
+    scalars: (D, B) classical digit planes; xm, ym: (D, B) internal-domain
+    planes. Returns Jacobian (ax, ay, z) planes. B must be a multiple of
+    ``tile`` (use parallel.pad_batch upstream); tile should be a multiple of
+    128 on hardware.
     """
     d = curve.field.ndigits
     b = scalars.shape[1]
     assert scalars.shape == (d, b) and xm.shape == (d, b) and ym.shape == (d, b)
     assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
+    lanes = min(LANES, tile)
+    s = tile // lanes
+    assert s * lanes == tile, f"tile {tile} not a multiple of {lanes}"
+    nblk = b // tile
 
-    spec = pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((d, b), jnp.int32)
-    return pl.pallas_call(
+    def to_blocks(a):
+        return a.reshape(d, nblk, s, lanes).transpose(1, 0, 2, 3)
+
+    def from_blocks(a):
+        return a.transpose(1, 0, 2, 3).reshape(d, b)
+
+    spec = pl.BlockSpec((1, d, s, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nblk, d, s, lanes), jnp.int32)
+    ax, ay, z = pl.pallas_call(
         functools.partial(_ladder_kernel, curve=curve),
-        grid=(b // tile,),
+        grid=(nblk,),
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
-    )(scalars, xm, ym)
+    )(to_blocks(scalars), to_blocks(xm), to_blocks(ym))
+    return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
 
 def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False):

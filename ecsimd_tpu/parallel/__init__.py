@@ -82,3 +82,56 @@ def initialize_distributed(**kwargs) -> None:
 def local_batch_to_global(planes, mesh: Mesh, axis_name: str = BATCH_AXIS):
     """Assemble per-process local plane shards into one global sharded array."""
     return jax.make_array_from_process_local_data(plane_sharding(mesh, axis_name), np.asarray(planes))
+
+
+def scalar_mult_sharded(
+    scalars,
+    pt,
+    mesh: Mesh,
+    axis_name: str = BATCH_AXIS,
+    use_kernel: bool = True,
+    tile: int | None = None,
+):
+    """Mesh-sharded batched scalar multiplication (k_i * P_i per lane).
+
+    Each device runs the ladder on its batch shard via shard_map — the Pallas
+    megakernel on TPU (use_kernel=True), or the portable XLA ladder otherwise.
+    Zero collectives: the ladder is lane-local (the reference's
+    zero-horizontal-communication property, SURVEY.md §5). Inputs may be
+    unsharded; outputs carry the batch sharding.
+    """
+    from jax import shard_map
+
+    from ecsimd_tpu.curves import group as _group
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.field import GFp
+    from ecsimd_tpu.kernels import ladder as _ladder
+
+    curve = pt.curve
+    fs = curve.field
+    spec = P(None, axis_name)
+
+    if use_kernel:
+        t = _ladder.DEFAULT_TILE if tile is None else tile
+
+        def per_shard(s, xm, ym):
+            return _ladder.ladder_mont_planes(s, xm, ym, curve, tile=t)
+
+    else:
+
+        def per_shard(s, xm, ym):
+            p = JacobianPoint(GFp.from_mont(xm, fs), GFp.from_mont(ym, fs),
+                              GFp.one(fs, xm), curve)
+            r = _group.scalar_mult(s, p)
+            return r.x.planes, r.y.planes, r.z.planes
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axis info
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    ax, ay, z = jax.jit(f)(scalars, pt.x.planes, pt.y.planes)
+    return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)

@@ -37,10 +37,19 @@ class FieldSpec:
     name: str
     p: int
     nbits: int  # storage width in bits (multiple of DIGIT_BITS)
+    # "montgomery": generic-prime CIOS (the reference's only strategy,
+    # mgry_mul.h:84-121). "solinas": fast reduction for Solinas/NIST primes
+    # whose 2^nbits residue decomposes into few +-1 power-of-2^32 terms —
+    # a TPU-native specialization the reference lacks (its compile-time
+    # constants make Montgomery free of per-prime cost on CPUs; on the TPU
+    # VPU the CIOS multiplies are ~half the field-mul cost, so sparse primes
+    # get a multiply-free reduction instead).
+    reduction: str = "montgomery"
 
     def __post_init__(self):
         assert self.nbits % DIGIT_BITS == 0
         assert self.p % 2 == 1 and self.p.bit_length() <= self.nbits
+        assert self.reduction in ("montgomery", "solinas")
 
     @property
     def ndigits(self) -> int:
@@ -133,6 +142,7 @@ P256_FIELD = FieldSpec(
     name="p256",
     p=0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
     nbits=256,
+    reduction="solinas",
 )
 
 # secp256k1 prime — used throughout the reference's Montgomery tests
@@ -163,6 +173,7 @@ P384_FIELD = FieldSpec(
     name="p384",
     p=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFFFF0000000000000000FFFFFFFF,
     nbits=384,
+    reduction="solinas",
 )
 
 P384 = CurveSpec(

