@@ -33,6 +33,8 @@ def _shr(x, n):
 
 # --- digit-list primitives ----------------------------------------------------
 
+_GROUP = 4  # carry-select group width
+
 
 def normalize(rows, d):
     """Unsigned redundant digits -> [0, 2^16) digits + carry (all nonnegative)."""
@@ -43,6 +45,71 @@ def normalize(rows, d):
         outs.append(t & DIGIT_MASK)
         carry = _shr(t, DIGIT_BITS)
     return outs, carry
+
+
+def add_select(a, b):
+    """a + b with carry-select carries: digit sums have carries in {0, 1}, so
+    groups of 4 ripple both carry-in variants in parallel (depth 4) and a
+    4-deep group-carry chain selects between them — ~13-deep total instead of
+    the 32-deep serial ripple, which ablation shows is latency-bound on the
+    VPU (the muls around it run near the multi-issue ceiling).
+
+    Requires a, b normalized (digits < 2^16). Returns (digits, carry_out)."""
+    d = len(a)
+    if d % _GROUP:
+        return normalize([x + y for x, y in zip(a, b)], d)
+    s = [x + y for x, y in zip(a, b)]
+    d0, d1, g0, g1 = [], [], [], []
+    for j in range(0, d, _GROUP):
+        c0, c1 = None, None
+        for k in range(j, j + _GROUP):
+            t0 = s[k] if c0 is None else s[k] + c0
+            t1 = s[k] + 1 if c1 is None else s[k] + c1
+            d0.append(t0 & DIGIT_MASK)
+            d1.append(t1 & DIGIT_MASK)
+            c0 = _shr(t0, DIGIT_BITS)
+            c1 = _shr(t1, DIGIT_BITS)
+        g0.append(c0)
+        g1.append(c1)
+    outs = list(d0[: _GROUP])  # first group has carry-in 0
+    c = g0[0]
+    for j in range(1, d // _GROUP):
+        m = c.astype(bool)
+        for k in range(j * _GROUP, (j + 1) * _GROUP):
+            outs.append(jnp.where(m, d1[k], d0[k]))
+        c = jnp.where(m, g1[j], g0[j])
+    return outs, c
+
+
+def sub_select(a, b):
+    """a - b with carry-select borrows (counterpart of add_select).
+
+    Requires a, b normalized (digits < 2^16).
+    Returns (digits, borrow_out in {0,1})."""
+    d = len(a)
+    if d % _GROUP:
+        return sub_borrow(a, b)
+    s = [x - y for x, y in zip(a, b)]
+    d0, d1, g0, g1 = [], [], [], []
+    for j in range(0, d, _GROUP):
+        c0, c1 = None, None
+        for k in range(j, j + _GROUP):
+            t0 = s[k] if c0 is None else s[k] - c0
+            t1 = s[k] - 1 if c1 is None else s[k] - c1
+            d0.append(t0 & DIGIT_MASK)
+            d1.append(t1 & DIGIT_MASK)
+            c0 = _shr(t0, 31)
+            c1 = _shr(t1, 31)
+        g0.append(c0)
+        g1.append(c1)
+    outs = list(d0[: _GROUP])
+    c = g0[0]
+    for j in range(1, d // _GROUP):
+        m = c.astype(bool)
+        for k in range(j * _GROUP, (j + 1) * _GROUP):
+            outs.append(jnp.where(m, d1[k], d0[k]))
+        c = jnp.where(m, g1[j], g0[j])
+    return outs, c
 
 
 def normalize_signed(rows, d):
@@ -80,7 +147,7 @@ def _p_digits(fs: FieldSpec):
 
 def cond_sub_p(digs, carry, fs: FieldSpec):
     """Subtract p iff carry-out or digs >= p (one conditional subtract)."""
-    d, borrow = sub_borrow(digs, _p_digits(fs))
+    d, borrow = sub_select(digs, _p_digits(fs))
     take = (1 - borrow) if carry is None else (carry | (1 - borrow))
     return select(take, d, digs)
 
@@ -89,13 +156,13 @@ def cond_sub_p(digs, carry, fs: FieldSpec):
 
 
 def mod_add(a, b, fs: FieldSpec):
-    s, carry = normalize([x + y for x, y in zip(a, b)], fs.ndigits)
+    s, carry = add_select(a, b)
     return cond_sub_p(s, carry, fs)
 
 
 def mod_sub(a, b, fs: FieldSpec):
-    d, borrow = sub_borrow(a, b)
-    dd, _ = normalize([x + y for x, y in zip(d, _p_digits(fs))], fs.ndigits)
+    d, borrow = sub_select(a, b)
+    dd, _ = add_select(d, _p_digits(fs))
     return select(borrow, dd, d)
 
 

@@ -60,22 +60,32 @@ def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
     ax, bx = swap2(m1, ax, bx)
     ay, by = swap2(m1, ay, by)
 
-    def body(i, state):
-        axd, ayd, bxd, byd, zd = state
-        ax, ay = VGFp(axd, fs), VGFp(ayd, fs)
-        bx, by = VGFp(bxd, fs), VGFp(byd, fs)
-        zz = VGFp(zd, fs)
-        m = bit_at(i)
-        ax, bx = swap2(m, ax, bx)
-        ay, by = swap2(m, ay, by)
-        bx, by, ax, ay, zz = group.zdau(bx, by, ax, ay, zz)
-        ax, bx = swap2(m, ax, bx)
-        ay, by = swap2(m, ay, by)
-        return ax.digs, ay.digs, bx.digs, by.digs, zz.digs
+    # Nested digit/bit loops: the dynamic VMEM row read costs ~thousands of
+    # cycles per occurrence (ablation), so it runs once per 16-bit digit in
+    # the outer loop; the inner loop shifts the held register per bit.
+    def outer(dig, state):
+        plane = scalars_ref[0, pl.ds(dig, 1)][0]  # (S, L)
 
-    axd, ayd, bxd, byd, zd = lax.fori_loop(
-        2, nbits, body, (ax.digs, ay.digs, bx.digs, by.digs, z.digs)
+        def inner(off, state):
+            axd, ayd, bxd, byd, zd = state
+            ax, ay = VGFp(axd, fs), VGFp(ayd, fs)
+            bx, by = VGFp(bxd, fs), VGFp(byd, fs)
+            zz = VGFp(zd, fs)
+            m = lax.shift_right_logical(plane, off) & 1
+            ax, bx = swap2(m, ax, bx)
+            ay, by = swap2(m, ay, by)
+            bx, by, ax, ay, zz = group.zdau(bx, by, ax, ay, zz)
+            ax, bx = swap2(m, ax, bx)
+            ay, by = swap2(m, ay, by)
+            return ax.digs, ay.digs, bx.digs, by.digs, zz.digs
+
+        start = jnp.where(dig == 0, 2, 0)  # bits 0/1 consumed by the seed
+        return lax.fori_loop(start, DIGIT_BITS, inner, state)
+
+    state = lax.fori_loop(
+        0, nbits // DIGIT_BITS, outer, (ax.digs, ay.digs, bx.digs, by.digs, z.digs)
     )
+    axd, ayd, bxd, byd, zd = state
     ax, ay, z = VGFp(axd, fs), VGFp(ayd, fs), VGFp(zd, fs)
 
     # parity fixup for even scalars (curve_group.h:214-217)
