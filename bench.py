@@ -34,11 +34,13 @@ def main():
     from ecsimd_tpu.specs import P256
 
     from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
-    from ecsimd_tpu.kernels import ladder
+    from ecsimd_tpu.kernels import ladder, window
 
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     tile = int(os.environ.get("BENCH_TILE", "2048"))
+    algo = os.environ.get("BENCH_ALGO", "window")  # window (fast) | ladder
+    kernel_planes = window.window_mont_planes if algo == "window" else ladder.ladder_mont_planes
     d = P256.field.ndigits
 
     rng = np.random.default_rng(0xEC51)
@@ -50,7 +52,7 @@ def main():
     pt = JacobianPoint.from_affine(AffinePoint(xs, ys, P256))
     xm, ym = pt.x.planes, pt.y.planes
 
-    fn = jax.jit(lambda s: ladder.ladder_mont_planes(s, xm, ym, P256, tile=tile))
+    fn = jax.jit(lambda s: kernel_planes(s, xm, ym, P256, tile=tile))
     # warmup/compile
     ax, ay, z = fn(scalars)
     np.asarray(ax)

@@ -31,7 +31,7 @@ from ecsimd_tpu.specs import (
     FieldSpec,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CURVES",

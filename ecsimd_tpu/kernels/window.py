@@ -1,0 +1,185 @@
+"""Fused Pallas kernel: signed fixed-window (w=4) batched scalar multiplication.
+
+A beyond-reference fast path (~10.7 field-mults/bit vs the co-Z ladder's
+~14.4; the reference implements only the ladder) that keeps the constant-time
+discipline: the window digits come from a closed-form signed-odd recoding
+(oracle/window.py), table lookups are masked 8-way selects, and control flow
+is fully uniform. Same digit-per-vreg layout and VGFp group-law style as the
+ladder kernel.
+
+Per 4 bits: 4 Jacobian doublings (dbl-2001-b, a = -3: 3M+5S) + 1 general
+Jacobian add (11M+5S) against a per-lane table of odd multiples P..15P.
+
+Domain: same exclusions as the ladder, plus (measure-zero for random k)
+scalars whose intermediate 16*acc collides with a table entry's x line
+(degenerate add). Use the ladder for adversarially-chosen scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ecsimd_tpu.curves import group
+from ecsimd_tpu.field import GFp
+from ecsimd_tpu.kernels import digits as dg
+from ecsimd_tpu.kernels.digits import VGFp
+from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
+
+DEFAULT_TILE = 2048
+LANES = 128
+W = 4
+
+
+def _jac_dbl(x1, y1, z1, curve):
+    """dbl-2001-b for a = -3 (3M+5S)."""
+    delta = z1.sqr()
+    gamma = y1.sqr()
+    beta = x1 * gamma
+    alpha = (x1 - delta) * (x1 + delta)
+    alpha = alpha + alpha.double()  # 3*(x1-delta)(x1+delta)
+    x3 = alpha.sqr() - beta.shift_left(3)
+    z3 = (y1 + z1).sqr() - gamma - delta
+    y3 = alpha * (beta.shift_left(2) - x3) - gamma.sqr().shift_left(3)
+    return x3, y3, z3
+
+
+def _jac_add(x1, y1, z1, x2, y2, z2):
+    """General Jacobian add (11M+5S); degenerate when the x lines collide."""
+    z1z1 = z1.sqr()
+    z2z2 = z2.sqr()
+    u1 = x1 * z2z2
+    u2 = x2 * z1z1
+    s1 = y1 * z2z2 * z2
+    s2 = y2 * z1z1 * z1
+    h = u2 - u1
+    r = s2 - s1
+    hh = h.sqr()
+    hhh = h * hh
+    v = u1 * hh
+    x3 = r.sqr() - hhh - v.double()
+    y3 = r * (v - x3) - s1 * hhh
+    z3 = z1 * z2 * h
+    return x3, y3, z3
+
+
+def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
+    fs = curve.field
+    d = fs.ndigits
+
+    x = VGFp([x_ref[0, k] for k in range(d)], fs)
+    y = VGFp([y_ref[0, k] for k in range(d)], fs)
+    one = x.const_like(1)
+    opp_y = y.opposite()
+
+    # table of odd multiples: T[t] = (2t+1)P, per lane (Jacobian)
+    two = _jac_dbl(x, y, one, curve)
+    T = [(x, y, one)]
+    for _ in range(7):
+        px, py, pz = T[-1]
+        T.append(_jac_add(px, py, pz, *two))
+
+    def body(t, state):
+        accx, accy, accz = (VGFp(v, fs) for v in state)
+        # window index i = 63 - t; bits 4i..4i+4
+        i = (fs.nbits // W - 1) - t
+        bitpos = i * W
+        dig = lax.div(bitpos, DIGIT_BITS)
+        off = lax.rem(bitpos, DIGIT_BITS)
+        plane = scalars_ref[0, pl.ds(dig, 1)][0]
+        nxt = jnp.minimum(dig + 1, d - 1)
+        plane_next = jnp.where(dig == d - 1, 0, scalars_ref[0, pl.ds(nxt, 1)][0])
+        # off == 0 would shift plane_next by 16 (undefined for int32); the
+        # window is fully inside `plane` then, so mask the contribution
+        spill = jnp.where(off == 0, 0, plane_next << (DIGIT_BITS - off))
+        w5 = (lax.shift_right_logical(plane, off) | spill) & 31
+        v = w5 | 1
+        sd = v - 16  # odd, in [-15, 15]
+        neg = sd < 0
+        mag = jnp.where(neg, -sd, sd)
+        idx = lax.shift_right_logical(mag - 1, 1)  # 0..7
+
+        tx, ty, tz = T[7]
+        txd, tyd, tzd = list(tx.digs), list(ty.digs), list(tz.digs)
+        for t_ in range(6, -1, -1):
+            m = (idx == t_)
+            ex, ey, ez = T[t_]
+            txd = [jnp.where(m, a, b) for a, b in zip(ex.digs, txd)]
+            tyd = [jnp.where(m, a, b) for a, b in zip(ey.digs, tyd)]
+            tzd = [jnp.where(m, a, b) for a, b in zip(ez.digs, tzd)]
+        ty_opp = dg.mod_opposite(tyd, fs)
+        tyd = [jnp.where(neg, a, b) for a, b in zip(ty_opp, tyd)]
+
+        for _ in range(W):
+            accx, accy, accz = _jac_dbl(accx, accy, accz, curve)
+        accx, accy, accz = _jac_add(
+            accx, accy, accz, VGFp(txd, fs), VGFp(tyd, fs), VGFp(tzd, fs)
+        )
+        return accx.digs, accy.digs, accz.digs
+
+    # init: d_{m-1} = 1 always => acc = P
+    state = (list(x.digs), list(y.digs), list(one.digs))
+    state = lax.fori_loop(0, fs.nbits // W, body, state)
+    accx, accy, accz = (VGFp(v, fs) for v in state)
+
+    # parity fixup for even scalars (as in the ladder)
+    sx, sy, sz = group.add_z2_1(accx, accy, accz, x, opp_y)
+    bit0 = scalars_ref[0, pl.ds(0, 1)][0] & 1
+    meven = 1 - bit0
+    accx = sx.select(meven, accx)
+    accy = sy.select(meven, accy)
+    accz = sz.select(meven, accz)
+    for k in range(d):
+        ax_ref[0, k] = accx.digs[k]
+        ay_ref[0, k] = accy.digs[k]
+        z_ref[0, k] = accz.digs[k]
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "tile", "interpret"))
+def window_mont_planes(
+    scalars, xm, ym, curve: CurveSpec, tile: int = DEFAULT_TILE, interpret: bool = False
+):
+    """Windowed scalar mult on internal-domain planes; same I/O contract as
+    ladder.ladder_mont_planes."""
+    d = curve.field.ndigits
+    b = scalars.shape[1]
+    assert scalars.shape == (d, b) and xm.shape == (d, b) and ym.shape == (d, b)
+    assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
+    lanes = min(LANES, tile)
+    s = tile // lanes
+    nblk = b // tile
+
+    def to_blocks(a):
+        return a.reshape(d, nblk, s, lanes).transpose(1, 0, 2, 3)
+
+    def from_blocks(a):
+        return a.transpose(1, 0, 2, 3).reshape(d, b)
+
+    spec = pl.BlockSpec((1, d, s, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nblk, d, s, lanes), jnp.int32)
+    ax, ay, z = pl.pallas_call(
+        functools.partial(_window_kernel, curve=curve),
+        grid=(nblk,),
+        in_specs=[spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(to_blocks(scalars), to_blocks(xm), to_blocks(ym))
+    return from_blocks(ax), from_blocks(ay), from_blocks(z)
+
+
+def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False):
+    """Windowed drop-in for kernels.ladder.scalar_mult (fast path)."""
+    from ecsimd_tpu.curves.point import JacobianPoint
+
+    curve = pt.curve
+    fs = curve.field
+    ax, ay, z = window_mont_planes(
+        scalars, pt.x.planes, pt.y.planes, curve, tile=tile, interpret=interpret
+    )
+    return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
