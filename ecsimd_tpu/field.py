@@ -138,6 +138,26 @@ class GFp:
     def pow_const(self, e: int) -> "GFp":
         return GFp(_pow_const_planes(self.planes, e, self.fs), self.fs)
 
+    def pow_planes(self, e_planes) -> "GFp":
+        """Per-lane exponent (classical digit planes) — the wide-exponent
+        mgry_pow of the reference (mgry_ops.h:44-86), generic over the
+        reduction strategy. Uniform control flow (masked multiply per bit)."""
+        from jax import lax
+
+        fs = self.fs
+        d = fs.ndigits
+
+        def body(i, acc):
+            bit_idx = d * 16 - 1 - i
+            digit, off = bit_idx // 16, bit_idx % 16
+            ebit = lax.shift_right_logical(e_planes[digit], off) & 1
+            acc = _sqr_planes(acc, fs)
+            m = _mul_planes(acc, self.planes, fs)
+            return bn.select(ebit, m, acc)
+
+        out = lax.fori_loop(0, d * 16, body, _one_planes(fs, self.planes))
+        return GFp(out, fs)
+
     def inverse(self) -> "GFp":
         """Fermat inversion x^(p-2) (gfp.h:42-44). inverse(0) = 0."""
         return self.pow_const(self.fs.fermat_exponent)

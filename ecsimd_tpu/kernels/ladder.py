@@ -139,16 +139,26 @@ def ladder_mont_planes(
     return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
 
-def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False):
-    """Drop-in replacement for curves.group.scalar_mult using the fused kernel.
-
-    pt: JacobianPoint batch with z = 1 (from_affine). Returns JacobianPoint.
-    """
+def _run_padded(kernel_planes, scalars, pt, tile: int, interpret: bool):
+    """Pad the batch to a tile multiple (lane-padding with valid lane-0 copies,
+    SURVEY.md §7 batch-edge hazard), run, slice back, rewrap as a point."""
+    from ecsimd_tpu import parallel
     from ecsimd_tpu.curves.point import JacobianPoint
 
     curve = pt.curve
     fs = curve.field
-    ax, ay, z = ladder_mont_planes(
-        scalars, pt.x.planes, pt.y.planes, curve, tile=tile, interpret=interpret
-    )
+    s, b = parallel.pad_batch(scalars, tile)
+    xm, _ = parallel.pad_batch(pt.x.planes, tile)
+    ym, _ = parallel.pad_batch(pt.y.planes, tile)
+    ax, ay, z = kernel_planes(s, xm, ym, curve, tile=tile, interpret=interpret)
+    ax, ay, z = ax[:, :b], ay[:, :b], z[:, :b]
     return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
+
+
+def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False):
+    """Drop-in replacement for curves.group.scalar_mult using the fused kernel.
+
+    pt: JacobianPoint batch with z = 1 (from_affine). Returns JacobianPoint.
+    Batch is auto-padded to a tile multiple.
+    """
+    return _run_padded(ladder_mont_planes, scalars, pt, tile, interpret)

@@ -174,12 +174,8 @@ def window_mont_planes(
 
 
 def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False):
-    """Windowed drop-in for kernels.ladder.scalar_mult (fast path)."""
-    from ecsimd_tpu.curves.point import JacobianPoint
+    """Windowed drop-in for kernels.ladder.scalar_mult (fast path).
+    Batch is auto-padded to a tile multiple."""
+    from ecsimd_tpu.kernels.ladder import _run_padded
 
-    curve = pt.curve
-    fs = curve.field
-    ax, ay, z = window_mont_planes(
-        scalars, pt.x.planes, pt.y.planes, curve, tile=tile, interpret=interpret
-    )
-    return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
+    return _run_padded(window_mont_planes, scalars, pt, tile, interpret)

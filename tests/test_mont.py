@@ -175,3 +175,21 @@ def _removed_test_mont_mul_jit():
         for x in (V.MGRY_OPS_A, V.MGRY_OPS_B)
     ]
     assert ints(out) == want
+
+
+def test_gfp_pow_planes_solinas(rng):
+    """Per-lane exponents through the generic GFp.pow_planes (solinas field)."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu import convert
+    from ecsimd_tpu.field import GFp
+    from ecsimd_tpu.specs import P256_FIELD
+
+    fs = P256_FIELD
+    d = fs.ndigits
+    xs = [rng.randrange(1, fs.p) for _ in range(4)]
+    es = [0x10001, 2, fs.p - 2, rng.randrange(fs.p)]
+    x = GFp.from_classical(jnp.asarray(convert.ints_to_planes(xs, d)), fs)
+    e = jnp.asarray(convert.ints_to_planes(es, d))
+    got = convert.planes_to_ints(x.pow_planes(e).to_classical())
+    assert got == [pow(a, b, fs.p) for a, b in zip(xs, es)]
