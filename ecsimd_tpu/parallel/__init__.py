@@ -69,6 +69,15 @@ def pad_batch(planes, multiple: int):
     return jnp.concatenate([planes, fill], axis=-1), b
 
 
+def gather_planes(planes) -> np.ndarray:
+    """Collect a batch-sharded plane array to one host array (the result
+    all_gather of SURVEY.md §2.3 — the only collective the workload needs,
+    riding ICI/DCN via jax's cross-host addressable-shard assembly)."""
+    import jax
+
+    return np.asarray(jax.device_get(planes))
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host bring-up: jax.distributed.initialize passthrough.
 

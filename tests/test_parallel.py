@@ -75,3 +75,11 @@ def test_dryrun_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_gather_planes(mesh):
+    d = 16
+    planes = jnp.asarray(convert.ints_to_planes(list(range(1, 17)), d))
+    sharded = parallel.shard_planes(planes, mesh)
+    gathered = parallel.gather_planes(sharded)
+    assert convert.planes_to_ints(gathered) == list(range(1, 17))
