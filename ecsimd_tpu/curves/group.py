@@ -88,8 +88,8 @@ def zdau(x1: GFp, y1: GFp, x2: GFp, y2: GFp, z: GFp):
     c = (x3pc - w1p).sqr()
     a1p2 = a1p.double()
     y3p = ((y1 - y2) + (w1p - x3pc)).sqr() - dp - c - a1p2
-    w1 = x3pc.shift_left(2) * c
-    w2 = w1p.shift_left(2) * c
+    w1 = x3pc.mul_scaled(c, 4)  # 4*x3pc*c fused (was shift_left(2) then mul)
+    w2 = w1p.mul_scaled(c, 4)
     t_minus = y3p - a1p2
     d = t_minus.sqr()
     a1 = y3p * (w1 - w2)
@@ -110,12 +110,11 @@ def add_z2_1(x1: GFp, y1: GFp, z1: GFp, x2: GFp, y2: GFp):
     s2 = y2 * z1 * z1z1
     h = u2 - x1
     hh = h.sqr()
-    i = hh.shift_left(2)
-    j = h * i
+    j = h.mul_scaled(hh, 4)  # h * (4*hh), i = 4*hh fused
     r = (s2 - y1).double()
-    v = x1 * i
+    v = x1.mul_scaled(hh, 4)
     x3 = r.sqr() - j - v.double()
-    y3 = r * (v - x3) - y1.double() * j
+    y3 = r * (v - x3) - y1.mul_scaled(j, 2)
     z3 = (z1 + h).sqr() - z1z1 - hh
     return x3, y3, z3
 

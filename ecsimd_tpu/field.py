@@ -124,6 +124,20 @@ class GFp:
     def sqr(self) -> "GFp":
         return GFp(_sqr_planes(self.planes, self.fs), self.fs)
 
+    def mul_scaled(self, o: "GFp", scale: int) -> "GFp":
+        """scale * self * o for a small constant scale (2/3/4/8) — fused into
+        the Solinas reduction; falls back to double/add chains for Montgomery
+        fields (whose reduction contract t < R*p forbids pre-scaling)."""
+        if self.fs.reduction == "solinas":
+            return GFp(solinas.fast_mul(self.planes, o.planes, self.fs, scale), self.fs)
+        return _scale_fallback(self * o, scale)
+
+    def sqr_scaled(self, scale: int) -> "GFp":
+        """scale * self^2 (see mul_scaled)."""
+        if self.fs.reduction == "solinas":
+            return GFp(solinas.fast_sqr(self.planes, self.fs, scale), self.fs)
+        return _scale_fallback(self.sqr(), scale)
+
     def double(self) -> "GFp":
         return GFp(mont.mod_shift_left_one(self.planes, self.fs), self.fs)
 
@@ -188,6 +202,19 @@ class GFp:
     def const_like(self, value: int) -> "GFp":
         """Compile-time field constant shaped like self (internal domain)."""
         return GFp.constant(value, self.fs, self.planes)
+
+
+def _scale_fallback(r, scale: int):
+    """r * scale via double/add chains (any element type with double/+)."""
+    if scale == 2:
+        return r.double()
+    if scale == 3:
+        return r + r.double()
+    if scale == 4:
+        return r.double().double()
+    if scale == 8:
+        return r.double().double().double()
+    raise ValueError(f"unsupported scale {scale}")
 
 
 def gfp_swap_if(mask, a, b):

@@ -279,6 +279,23 @@ def field_sqr(a, fs: FieldSpec):
     return _cios_reduce_list(_grid_sqr(a, fs.ndigits), fs)
 
 
+def _scale_list(cols, scale: int):
+    s = jnp.int32(scale)
+    return [c * s for c in cols]
+
+
+def field_mul_scaled(a, b, fs: FieldSpec, scale: int):
+    """scale*a*b mod p, scale fused into the Solinas reduction (see
+    ops/solinas.fast_mul); Montgomery fields fall back at the VGFp level."""
+    assert fs.reduction == "solinas"
+    return _solinas_reduce_list(_scale_list(_grid(a, b, fs.ndigits), scale), fs, col_bound=scale << 22)
+
+
+def field_sqr_scaled(a, fs: FieldSpec, scale: int):
+    assert fs.reduction == "solinas"
+    return _solinas_reduce_list(_scale_list(_grid_sqr(a, fs.ndigits), scale), fs, col_bound=scale << 22)
+
+
 # --- GFp-compatible element wrapper ------------------------------------------
 
 
@@ -317,6 +334,20 @@ class VGFp:
 
     def sqr(self):
         return VGFp(field_sqr(self.digs, self.fs), self.fs)
+
+    def mul_scaled(self, o, scale: int):
+        if self.fs.reduction == "solinas":
+            return VGFp(field_mul_scaled(self.digs, o.digs, self.fs, scale), self.fs)
+        from ecsimd_tpu.field import _scale_fallback
+
+        return _scale_fallback(self * o, scale)
+
+    def sqr_scaled(self, scale: int):
+        if self.fs.reduction == "solinas":
+            return VGFp(field_sqr_scaled(self.digs, self.fs, scale), self.fs)
+        from ecsimd_tpu.field import _scale_fallback
+
+        return _scale_fallback(self.sqr(), scale)
 
     def double(self):
         return VGFp(mod_double(self.digs, self.fs), self.fs)

@@ -37,15 +37,15 @@ W = 4
 
 
 def _jac_dbl(x1, y1, z1, curve):
-    """dbl-2001-b for a = -3 (3M+5S)."""
+    """dbl-2001-b for a = -3 (3M+5S), with the 3x/4x/8x factors fused into
+    the Solinas reduction (mul_scaled/sqr_scaled) instead of double-chains."""
     delta = z1.sqr()
     gamma = y1.sqr()
-    beta = x1 * gamma
-    alpha = (x1 - delta) * (x1 + delta)
-    alpha = alpha + alpha.double()  # 3*(x1-delta)(x1+delta)
-    x3 = alpha.sqr() - beta.shift_left(3)
+    beta4 = x1.mul_scaled(gamma, 4)
+    alpha = (x1 - delta).mul_scaled(x1 + delta, 3)
+    x3 = alpha.sqr() - beta4.double()
     z3 = (y1 + z1).sqr() - gamma - delta
-    y3 = alpha * (beta.shift_left(2) - x3) - gamma.sqr().shift_left(3)
+    y3 = alpha * (beta4 - x3) - gamma.sqr_scaled(8)
     return x3, y3, z3
 
 
@@ -84,16 +84,8 @@ def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
         px, py, pz = T[-1]
         T.append(_jac_add(px, py, pz, *two))
 
-    def body(t, state):
+    def window_step(plane, plane_next, off, state):
         accx, accy, accz = (VGFp(v, fs) for v in state)
-        # window index i = 63 - t; bits 4i..4i+4
-        i = (fs.nbits // W - 1) - t
-        bitpos = i * W
-        dig = lax.div(bitpos, DIGIT_BITS)
-        off = lax.rem(bitpos, DIGIT_BITS)
-        plane = scalars_ref[0, pl.ds(dig, 1)][0]
-        nxt = jnp.minimum(dig + 1, d - 1)
-        plane_next = jnp.where(dig == d - 1, 0, scalars_ref[0, pl.ds(nxt, 1)][0])
         # off == 0 would shift plane_next by 16 (undefined for int32); the
         # window is fully inside `plane` then, so mask the contribution
         spill = jnp.where(off == 0, 0, plane_next << (DIGIT_BITS - off))
@@ -122,9 +114,24 @@ def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
         )
         return accx.digs, accy.digs, accz.digs
 
+    # Outer loop over scalar digits (MSB->LSB), inner over the 4 windows per
+    # digit — the dynamic VMEM row reads happen once per digit, not per
+    # window (each costs ~thousands of cycles; same hoist as the ladder).
+    def outer(t, state):
+        dig = (d - 1) - t
+        plane = scalars_ref[0, pl.ds(dig, 1)][0]
+        nxt = jnp.minimum(dig + 1, d - 1)
+        plane_next = jnp.where(dig == d - 1, 0, scalars_ref[0, pl.ds(nxt, 1)][0])
+
+        def inner(u, st):
+            off = DIGIT_BITS - W - u * W  # 12, 8, 4, 0
+            return window_step(plane, plane_next, off, st)
+
+        return lax.fori_loop(0, DIGIT_BITS // W, inner, state)
+
     # init: d_{m-1} = 1 always => acc = P
     state = (list(x.digs), list(y.digs), list(one.digs))
-    state = lax.fori_loop(0, fs.nbits // W, body, state)
+    state = lax.fori_loop(0, d, outer, state)
     accx, accy, accz = (VGFp(v, fs) for v in state)
 
     # parity fixup for even scalars (as in the ladder)

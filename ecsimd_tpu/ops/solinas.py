@@ -230,12 +230,23 @@ def _product_columns_sqr(a):
     return cols
 
 
-def fast_mul(a, b, fs: FieldSpec):
-    """a*b mod p (plain domain) via grid + Solinas reduction."""
+def fast_mul(a, b, fs: FieldSpec, scale: int = 1):
+    """scale*a*b mod p (plain domain) via grid + Solinas reduction.
+
+    ``scale`` (a small positive trace-time constant, <= 8) multiplies the
+    redundant columns before reduction — one vector op replacing the 1-3
+    modular doublings the group-law formulas otherwise spend on 2x/3x/4x/8x
+    products (the reduction's interval proof re-runs with the scaled bound)."""
     from ecsimd_tpu.ops.mont import _product_columns
 
-    return solinas_reduce(_product_columns(a, b), fs)
+    cols = _product_columns(a, b)
+    if scale != 1:
+        cols = cols * jnp.int32(scale)
+    return solinas_reduce(cols, fs, col_bound=scale << 22)
 
 
-def fast_sqr(a, fs: FieldSpec):
-    return solinas_reduce(_product_columns_sqr(a), fs)
+def fast_sqr(a, fs: FieldSpec, scale: int = 1):
+    cols = _product_columns_sqr(a)
+    if scale != 1:
+        cols = cols * jnp.int32(scale)
+    return solinas_reduce(cols, fs, col_bound=scale << 22)
