@@ -218,12 +218,12 @@ def _grid_sqr(a, d):
     return [c if c is not None else jnp.zeros_like(a[0]) for c in cols]
 
 
-def _solinas_reduce_list(cols, fs: FieldSpec, col_bound: int = 1 << 22):
+def _solinas_reduce_list(cols, fs: FieldSpec, col_bound: int = 1 << 22, col_lo: int = 0):
     """List-based Solinas reduction; same plan/bounds as ops/solinas.py."""
     d = fs.ndigits
     nwords = d // solinas.DIGITS_PER_WORD
     ncols = len(cols)
-    mat, offset_digits, c1_max = solinas._plan(fs, ncols, col_bound)
+    mat, offset_digits, c1_max = solinas._plan(fs, ncols, col_bound, col_lo)
     assert c1_max * ((1 << fs.nbits) % fs.p) < (1 << fs.nbits)
     cterms = solinas._cbar_digit_terms(fs)
 
@@ -294,6 +294,33 @@ def field_mul_scaled(a, b, fs: FieldSpec, scale: int):
 def field_sqr_scaled(a, fs: FieldSpec, scale: int):
     assert fs.reduction == "solinas"
     return _solinas_reduce_list(_scale_list(_grid_sqr(a, fs.ndigits), scale), fs, col_bound=scale << 22)
+
+
+def reduce_combo(terms, fs: FieldSpec):
+    """One Solinas reduction of a signed linear combination of raw product
+    grids and digit values: terms = [(rows, scale)], rows of length 2d+1
+    (grid columns in [0, 2^22)) or d (normalized digits in [0, 2^16)), scale
+    a small trace-time int (|scale| <= 8).
+
+    Fuses patterns like x3 = r^2 - hhh - 2v into a single reduction —
+    removing one full reduction plus the mod_sub chains per fused term. The
+    interval proof runs in ops/solinas._plan with the combined signed bounds.
+    """
+    assert fs.reduction == "solinas"
+    d = fs.ndigits
+    ncols = 2 * d + 1
+    cols = [None] * ncols
+    lo = hi = 0
+    for rows, scale in terms:
+        bound = (1 << 22) if len(rows) == ncols else (1 << 16)
+        lo += min(scale * bound, 0)
+        hi += max(scale * bound, 0)
+        s = jnp.int32(scale)
+        for k, r in enumerate(rows):
+            v = r if scale == 1 else (-r if scale == -1 else r * s)
+            cols[k] = v if cols[k] is None else cols[k] + v
+    cols = [c if c is not None else jnp.zeros_like(terms[0][0][0]) for c in cols]
+    return _solinas_reduce_list(cols, fs, col_bound=hi if hi else 1, col_lo=lo)
 
 
 # --- GFp-compatible element wrapper ------------------------------------------

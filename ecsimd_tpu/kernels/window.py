@@ -36,21 +36,34 @@ LANES = 128
 W = 4
 
 
+def _combo(fs, *terms):
+    """VGFp from one fused multi-term Solinas reduction."""
+    return VGFp(dg.reduce_combo(list(terms), fs), fs)
+
+
 def _jac_dbl(x1, y1, z1, curve):
     """dbl-2001-b for a = -3 (3M+5S), with the 3x/4x/8x factors fused into
-    the Solinas reduction (mul_scaled/sqr_scaled) instead of double-chains."""
+    the Solinas reduction and each output coordinate produced by ONE fused
+    reduction of its full polynomial (grids + subtracted values)."""
+    fs = x1.fs
+    d = fs.ndigits
     delta = z1.sqr()
     gamma = y1.sqr()
     beta4 = x1.mul_scaled(gamma, 4)
     alpha = (x1 - delta).mul_scaled(x1 + delta, 3)
-    x3 = alpha.sqr() - beta4.double()
-    z3 = (y1 + z1).sqr() - gamma - delta
-    y3 = alpha * (beta4 - x3) - gamma.sqr_scaled(8)
+    x3 = _combo(fs, (dg._grid_sqr(alpha.digs, d), 1), (beta4.digs, -2))
+    z3 = _combo(fs, (dg._grid_sqr((y1 + z1).digs, d), 1),
+                (gamma.digs, -1), (delta.digs, -1))
+    y3 = _combo(fs, (dg._grid(alpha.digs, (beta4 - x3).digs, d), 1),
+                (dg._grid_sqr(gamma.digs, d), -8))
     return x3, y3, z3
 
 
 def _jac_add(x1, y1, z1, x2, y2, z2):
-    """General Jacobian add (11M+5S); degenerate when the x lines collide."""
+    """General Jacobian add (11M+5S), x3/y3 as single fused reductions;
+    degenerate when the x lines collide."""
+    fs = x1.fs
+    d = fs.ndigits
     z1z1 = z1.sqr()
     z2z2 = z2.sqr()
     u1 = x1 * z2z2
@@ -62,8 +75,8 @@ def _jac_add(x1, y1, z1, x2, y2, z2):
     hh = h.sqr()
     hhh = h * hh
     v = u1 * hh
-    x3 = r.sqr() - hhh - v.double()
-    y3 = r * (v - x3) - s1 * hhh
+    x3 = _combo(fs, (dg._grid_sqr(r.digs, d), 1), (hhh.digs, -1), (v.digs, -2))
+    y3 = _combo(fs, (dg._grid(r.digs, (v - x3).digs, d), 1), (dg._grid(s1.digs, hhh.digs, d), -1))
     z3 = z1 * z2 * h
     return x3, y3, z3
 

@@ -93,29 +93,32 @@ def reduction_matrix(fs: FieldSpec) -> tuple[tuple[tuple[int, int], ...], ...]:
 
 
 @functools.cache
-def _plan(fs: FieldSpec, ncols: int, col_bound: int):
+def _plan(fs: FieldSpec, ncols: int, col_bound: int, col_lo: int = 0):
     """Trace-time interval analysis: offset constant (multiple of p making the
-    combined value provably nonnegative) and bounds for each stage."""
+    combined value provably nonnegative) and bounds for each stage.
+
+    Input columns lie in [col_lo, col_bound) — col_lo may be negative for
+    fused multi-term reductions (kernels/digits.reduce_combo)."""
     d = fs.ndigits
     nwords = d // DIGITS_PER_WORD
     mat = reduction_matrix(fs)
 
     # per-output-digit signed bounds of the combination
-    lo = [0] * d
-    hi = [col_bound] * d  # identity part: cols[k] in [0, col_bound)
+    lo = [col_lo] * d
+    hi = [col_bound] * d  # identity part: cols[k] in [col_lo, col_bound)
     for dk in range(d, ncols):
         h, par = divmod(dk, DIGITS_PER_WORD)
         for w, c in mat[h - nwords]:
             k = w * DIGITS_PER_WORD + par
-            if c >= 0:
-                hi[k] += c * col_bound
-            else:
-                lo[k] += c * col_bound
+            lo[k] += min(c * col_lo, c * col_bound)
+            hi[k] += max(c * col_lo, c * col_bound)
     min_value = sum(l << (DIGIT_BITS * k) for k, l in enumerate(lo))
     max_value = sum(h << (DIGIT_BITS * k) for k, h in enumerate(hi))
     # offset = m*p >= -min_value so the folded value is nonnegative
     m = (-min_value + fs.p - 1) // fs.p if min_value < 0 else 0
-    offset_digits = int_to_digits(m * fs.p, d + 1)
+    offset_digits = int_to_digits(m * fs.p, d + 2)
+    assert offset_digits[d + 1] == 0, "offset exceeds one extra digit"
+    offset_digits = offset_digits[: d + 1]
     assert min(lo) > -(1 << 30) and max(hi) < (1 << 30), "combination overflow"
     assert max(hi) + max(offset_digits) < (1 << 31), "digit overflow"
     c1_max = (max_value + m * fs.p) >> fs.nbits
