@@ -37,7 +37,7 @@ def main():
     from ecsimd_tpu.kernels import ladder, window
 
     batch = int(os.environ.get("BENCH_BATCH", "16384"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "24"))
     tile = int(os.environ.get("BENCH_TILE", "2048"))
     algo = os.environ.get("BENCH_ALGO", "window")  # window (fast) | ladder
     kernel_planes = window.window_mont_planes if algo == "window" else ladder.ladder_mont_planes
