@@ -98,3 +98,40 @@ def test_ladder_kernel_tpu(rng):
     got = list(zip(convert.planes_to_ints(aff.x), convert.planes_to_ints(aff.y)))
     want = [coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks]
     assert got == want
+
+
+# --- end-to-end kernel coverage on CPU via the 64-bit toy Solinas curve ------
+# (256-bit interpret mode is intractable; 4 digits make it a few seconds)
+
+
+def _toy_points(ks):
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from tests.toy import TOY64
+
+    d = TOY64.field.ndigits
+    xs = jnp.asarray(convert.broadcast_int(TOY64.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOY64.gy, d, len(ks)))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    return scalars, JacobianPoint.from_affine(AffinePoint(xs, ys, TOY64))
+
+
+def test_ladder_kernel_toy_interpret(rng):
+    from ecsimd_tpu.kernels import ladder
+    from tests.toy import TOY64
+
+    ks = [2, 5, 6, rng.randrange(1, 1 << 63)]
+    scalars, jg = _toy_points(ks)
+    res = ladder.scalar_mult(scalars, jg, tile=4, interpret=True)
+    aff = res.to_affine()
+    got = list(zip(convert.planes_to_ints(aff.x), convert.planes_to_ints(aff.y)))
+    want = [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
+    assert got == want
+
+
+# NOTE: no interpret-mode toy test for the window kernel: pallas interpret
+# degenerates (>400s for the 8-entry table build alone, though the same ops
+# run in <1s eagerly and compile fine on TPU). Window coverage: the fused
+# reduce_combo harness above, test_window.py oracle tests, and
+# test_window_kernel_tpu on hardware.
