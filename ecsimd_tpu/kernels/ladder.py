@@ -29,11 +29,56 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.field import GFp, gfp_swap_if
 from ecsimd_tpu.curves import group
+from ecsimd_tpu.kernels import digits as dg
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
 
 DEFAULT_TILE = 2048
 LANES = 128
+
+
+def _zdau_fused(x1, y1, x2, y2, z):
+    """ZDAU (curve_group.h:120-153) with every output coordinate produced by
+    one fused Solinas reduction of its full polynomial (kernels/digits.
+    reduce_combo) — shared raw grids, no separate dp reduction, no trailing
+    mod_sub chains. Bit-identical to group.zdau (same algebra mod p)."""
+    fs = x1.fs
+    d = fs.ndigits
+
+    def C(*terms):
+        return VGFp(dg.reduce_combo(list(terms), fs), fs)
+
+    gs = lambda v: dg._grid_sqr(v.digs, d)
+    gm = lambda a, b: dg._grid(a.digs, b.digs, d)
+
+    dx = x1 - x2
+    cp = dx.sqr()
+    w1p = x1 * cp
+    w2p = x2 * cp
+    dy = y1 - y2
+    g_dy = gs(dy)  # raw grid of dp = dy^2, shared by two combos
+    a1p = y1 * (w1p - w2p)
+    x3pc = C((g_dy, 1), (w1p.digs, -1), (w2p.digs, -1))
+    c = (x3pc - w1p).sqr()
+    a1p2 = a1p.double()
+    y3p = C((gs(dy + (w1p - x3pc)), 1), (g_dy, -1), (c.digs, -1), (a1p2.digs, -1))
+    w1 = x3pc.mul_scaled(c, 4)
+    w2 = w1p.mul_scaled(c, 4)
+    t_minus = y3p - a1p2
+    a1 = y3p * (w1 - w2)
+    x3 = C((gs(t_minus), 1), (w1.digs, -1), (w2.digs, -1))
+    y3 = C((gm(t_minus, w1 - x3), 1), (a1.digs, -1))
+    z3 = z * C((gs(dx + (x3pc - w1p)), 1), (cp.digs, -1), (c.digs, -1))
+    t_plus = y3p + a1p2
+    xq = C((gs(t_plus), 1), (w1.digs, -1), (w2.digs, -1))
+    yq = C((gm(t_plus, w1 - xq), 1), (a1.digs, -1))
+    return x3, y3, xq, yq, z3
+
+
+def _zdau(x1, y1, x2, y2, z):
+    if x1.fs.reduction == "solinas":
+        return _zdau_fused(x1, y1, x2, y2, z)
+    return group.zdau(x1, y1, x2, y2, z)
 
 
 def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
@@ -74,7 +119,7 @@ def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
             m = lax.shift_right_logical(plane, off) & 1
             ax, bx = swap2(m, ax, bx)
             ay, by = swap2(m, ay, by)
-            bx, by, ax, ay, zz = group.zdau(bx, by, ax, ay, zz)
+            bx, by, ax, ay, zz = _zdau(bx, by, ax, ay, zz)
             ax, bx = swap2(m, ax, bx)
             ay, by = swap2(m, ay, by)
             return ax.digs, ay.digs, bx.digs, by.digs, zz.digs
