@@ -1,0 +1,110 @@
+"""Kernel-side fused point formulas over VGFp digit lists.
+
+Each output coordinate of every formula here is produced by ONE fused Solinas
+reduction of its full polynomial (kernels/digits.reduce_combo): raw product
+grids and already-reduced values enter a single signed column combination, so
+the per-term reductions and trailing mod_sub chains of the plain formulas
+never happen. Bit-identical to the curves/group.py versions (same algebra
+mod p); Montgomery-reduction fields fall back to those at the call sites.
+
+Formulas: co-Z ZDAU (curve_group.h:120-153), mixed add ADD_Z2_1
+(curve_group.h:155-179), plain Jacobian double dbl-2001-b for a = -3 and
+general Jacobian add (window/comb fast paths; no reference counterpart).
+"""
+
+from __future__ import annotations
+
+from ecsimd_tpu.kernels import digits as dg
+from ecsimd_tpu.kernels.digits import VGFp
+from ecsimd_tpu.specs import CurveSpec
+
+
+def _C(fs, *terms):
+    return VGFp(dg.reduce_combo(list(terms), fs), fs)
+
+
+def _gs(v):
+    return dg._grid_sqr(v.digs, len(v.digs))
+
+
+def _gm(a, b):
+    return dg._grid(a.digs, b.digs, len(a.digs))
+
+
+def zdau_fused(x1, y1, x2, y2, z):
+    """ZDAU (curve_group.h:120-153): (P, Q) -> (2P+Q, Q') with common z3."""
+    fs = x1.fs
+    dx = x1 - x2
+    cp = dx.sqr()
+    w1p = x1 * cp
+    w2p = x2 * cp
+    dy = y1 - y2
+    g_dy = _gs(dy)  # raw grid of dp = dy^2, shared by two combos
+    a1p = y1 * (w1p - w2p)
+    x3pc = _C(fs, (g_dy, 1), (w1p.digs, -1), (w2p.digs, -1))
+    c = (x3pc - w1p).sqr()
+    a1p2 = a1p.double()
+    y3p = _C(fs, (_gs(dy + (w1p - x3pc)), 1), (g_dy, -1), (c.digs, -1), (a1p2.digs, -1))
+    w1 = x3pc.mul_scaled(c, 4)
+    w2 = w1p.mul_scaled(c, 4)
+    t_minus = y3p - a1p2
+    a1 = y3p * (w1 - w2)
+    x3 = _C(fs, (_gs(t_minus), 1), (w1.digs, -1), (w2.digs, -1))
+    y3 = _C(fs, (_gm(t_minus, w1 - x3), 1), (a1.digs, -1))
+    z3 = z * _C(fs, (_gs(dx + (x3pc - w1p)), 1), (cp.digs, -1), (c.digs, -1))
+    t_plus = y3p + a1p2
+    xq = _C(fs, (_gs(t_plus), 1), (w1.digs, -1), (w2.digs, -1))
+    yq = _C(fs, (_gm(t_plus, w1 - xq), 1), (a1.digs, -1))
+    return x3, y3, xq, yq, z3
+
+
+def add_z2_1_fused(x1, y1, z1, x2, y2):
+    """Mixed add with Z2 == 1 (curve_group.h:155-179). Returns (x3, y3, z3)."""
+    fs = x1.fs
+    z1z1 = z1.sqr()
+    u2 = x2 * z1z1
+    s2 = y2 * z1 * z1z1
+    h = u2 - x1
+    hh = h.sqr()
+    j = h.mul_scaled(hh, 4)
+    r = (s2 - y1).double()
+    v = x1.mul_scaled(hh, 4)
+    x3 = _C(fs, (_gs(r), 1), (j.digs, -1), (v.digs, -2))
+    y3 = _C(fs, (_gm(r, v - x3), 1), (_gm(y1, j), -2))
+    z3 = _C(fs, (_gs(z1 + h), 1), (z1z1.digs, -1), (hh.digs, -1))
+    return x3, y3, z3
+
+
+def jac_dbl(x1, y1, z1, curve: CurveSpec):
+    """dbl-2001-b for a = -3 (3M+5S), the 3x/4x/8x factors fused into the
+    Solinas reduction; each output is one fused reduction."""
+    fs = x1.fs
+    delta = z1.sqr()
+    gamma = y1.sqr()
+    beta4 = x1.mul_scaled(gamma, 4)
+    alpha = (x1 - delta).mul_scaled(x1 + delta, 3)
+    x3 = _C(fs, (_gs(alpha), 1), (beta4.digs, -2))
+    z3 = _C(fs, (_gs(y1 + z1), 1), (gamma.digs, -1), (delta.digs, -1))
+    y3 = _C(fs, (_gm(alpha, beta4 - x3), 1), (_gs(gamma), -8))
+    return x3, y3, z3
+
+
+def jac_add(x1, y1, z1, x2, y2, z2):
+    """General Jacobian add (11M+5S), x3/y3 as single fused reductions;
+    degenerate when the x lines collide."""
+    fs = x1.fs
+    z1z1 = z1.sqr()
+    z2z2 = z2.sqr()
+    u1 = x1 * z2z2
+    u2 = x2 * z1z1
+    s1 = y1 * z2z2 * z2
+    s2 = y2 * z1z1 * z1
+    h = u2 - u1
+    r = s2 - s1
+    hh = h.sqr()
+    hhh = h * hh
+    v = u1 * hh
+    x3 = _C(fs, (_gs(r), 1), (hhh.digs, -1), (v.digs, -2))
+    y3 = _C(fs, (_gm(r, v - x3), 1), (_gm(s1, hhh), -1))
+    z3 = z1 * z2 * h
+    return x3, y3, z3

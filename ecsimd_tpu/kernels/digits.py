@@ -201,21 +201,34 @@ def _grid(a, b, d):
 
 
 def _grid_sqr(a, d):
-    """Triangular squaring grid (off-diagonals once, doubled; mul.h:160-212)."""
-    cols = [None] * (2 * d + 1)
+    """Triangular squaring grid (off-diagonals once, doubled; mul.h:160-212).
 
-    def acc(k, v):
-        cols[k] = v if cols[k] is None else cols[k] + v
+    The off-diagonal parts accumulate undoubled into their own columns and the
+    column sums are doubled once at the end: 2 ops per *column* instead of 2
+    per *product* (~180 fewer vreg-ops for d=16). Bit-identical values: the
+    shift distributes over the sum and the column bound (<= 16 parts * 2^16
+    before doubling < 2^21) keeps every intermediate far from int32 overflow,
+    so the reduction's col_bound proof is unchanged."""
+    cols = [None] * (2 * d + 1)
+    off = [None] * (2 * d + 1)
+
+    def acc(c, k, v):
+        c[k] = v if c[k] is None else c[k] + v
 
     for i in range(d):
         pr = a[i] * a[i]
-        acc(2 * i, pr & DIGIT_MASK)
-        acc(2 * i + 1, _shr(pr, DIGIT_BITS))
+        acc(cols, 2 * i, pr & DIGIT_MASK)
+        acc(cols, 2 * i + 1, _shr(pr, DIGIT_BITS))
         for j in range(i + 1, d):
             pr = a[i] * a[j]
-            acc(i + j, (pr & DIGIT_MASK) << 1)
-            acc(i + j + 1, _shr(pr, DIGIT_BITS) << 1)
-    return [c if c is not None else jnp.zeros_like(a[0]) for c in cols]
+            acc(off, i + j, pr & DIGIT_MASK)
+            acc(off, i + j + 1, _shr(pr, DIGIT_BITS))
+    out = []
+    for c, o in zip(cols, off):
+        if o is not None:
+            c = (o << 1) if c is None else c + (o << 1)
+        out.append(c if c is not None else jnp.zeros_like(a[0]))
+    return out
 
 
 def _solinas_reduce_list(cols, fs: FieldSpec, col_bound: int = 1 << 22, col_lo: int = 0):
