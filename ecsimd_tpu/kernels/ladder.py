@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.field import GFp, gfp_swap_if
 from ecsimd_tpu.curves import group
+from ecsimd_tpu.kernels import coz as coz_k
 from ecsimd_tpu.kernels import digits as dg
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
@@ -37,57 +38,29 @@ DEFAULT_TILE = 2048
 LANES = 128
 
 
-def _zdau_fused(x1, y1, x2, y2, z):
-    """ZDAU (curve_group.h:120-153) with every output coordinate produced by
-    one fused Solinas reduction of its full polynomial (kernels/digits.
-    reduce_combo) — shared raw grids, no separate dp reduction, no trailing
-    mod_sub chains. Bit-identical to group.zdau (same algebra mod p)."""
-    fs = x1.fs
-    d = fs.ndigits
-
-    def C(*terms):
-        return VGFp(dg.reduce_combo(list(terms), fs), fs)
-
-    gs = lambda v: dg._grid_sqr(v.digs, d)
-    gm = lambda a, b: dg._grid(a.digs, b.digs, d)
-
-    dx = x1 - x2
-    cp = dx.sqr()
-    w1p = x1 * cp
-    w2p = x2 * cp
-    dy = y1 - y2
-    g_dy = gs(dy)  # raw grid of dp = dy^2, shared by two combos
-    a1p = y1 * (w1p - w2p)
-    x3pc = C((g_dy, 1), (w1p.digs, -1), (w2p.digs, -1))
-    c = (x3pc - w1p).sqr()
-    a1p2 = a1p.double()
-    y3p = C((gs(dy + (w1p - x3pc)), 1), (g_dy, -1), (c.digs, -1), (a1p2.digs, -1))
-    w1 = x3pc.mul_scaled(c, 4)
-    w2 = w1p.mul_scaled(c, 4)
-    t_minus = y3p - a1p2
-    a1 = y3p * (w1 - w2)
-    x3 = C((gs(t_minus), 1), (w1.digs, -1), (w2.digs, -1))
-    y3 = C((gm(t_minus, w1 - x3), 1), (a1.digs, -1))
-    z3 = z * C((gs(dx + (x3pc - w1p)), 1), (cp.digs, -1), (c.digs, -1))
-    t_plus = y3p + a1p2
-    xq = C((gs(t_plus), 1), (w1.digs, -1), (w2.digs, -1))
-    yq = C((gm(t_plus, w1 - xq), 1), (a1.digs, -1))
-    return x3, y3, xq, yq, z3
-
-
 def _zdau(x1, y1, x2, y2, z):
     if x1.fs.reduction == "solinas":
-        return _zdau_fused(x1, y1, x2, y2, z)
+        return coz_k.zdau_fused(x1, y1, x2, y2, z)
     return group.zdau(x1, y1, x2, y2, z)
 
 
-def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
+def _add_z2_1(x1, y1, z1, x2, y2):
+    if x1.fs.reduction == "solinas":
+        return coz_k.add_z2_1_fused(x1, y1, z1, x2, y2)
+    return group.add_z2_1(x1, y1, z1, x2, y2)
+
+
+def _ladder_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec):
+    """The full co-Z ladder computation on VGFp digit lists.
+
+    ``read_plane(dig)`` returns scalar digit plane ``dig`` (possibly traced)
+    shaped like the digits of ``x``. Shared by the Pallas kernel (VMEM-ref
+    reads) and the XLA twin (``ladder_xla_planes``), so the kernel's exact
+    compute path is CPU-compilable for tests and analytic op counting
+    (bench/roofline.py)."""
     fs = curve.field
     d = fs.ndigits
     nbits = fs.nbits
-
-    x = VGFp([x_ref[0, k] for k in range(d)], fs)
-    y = VGFp([y_ref[0, k] for k in range(d)], fs)
 
     opp_y = y.opposite()
     bx, by, ax, ay, z = group.tplu(x, y, curve)
@@ -95,8 +68,7 @@ def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
     def bit_at(i):
         digit = lax.div(i, DIGIT_BITS)
         off = lax.rem(i, DIGIT_BITS)
-        plane = scalars_ref[0, pl.ds(digit, 1)][0]  # (S, L)
-        return lax.shift_right_logical(plane, off) & 1
+        return lax.shift_right_logical(read_plane(digit), off) & 1
 
     def swap2(m, a, b):
         return gfp_swap_if(m, a, b)
@@ -109,7 +81,7 @@ def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
     # cycles per occurrence (ablation), so it runs once per 16-bit digit in
     # the outer loop; the inner loop shifts the held register per bit.
     def outer(dig, state):
-        plane = scalars_ref[0, pl.ds(dig, 1)][0]  # (S, L)
+        plane = read_plane(dig)
 
         def inner(off, state):
             axd, ayd, bxd, byd, zd = state
@@ -134,15 +106,55 @@ def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
     ax, ay, z = VGFp(axd, fs), VGFp(ayd, fs), VGFp(zd, fs)
 
     # parity fixup for even scalars (curve_group.h:214-217)
-    sx, sy, sz = group.add_z2_1(ax, ay, z, x, opp_y)
+    sx, sy, sz = _add_z2_1(ax, ay, z, x, opp_y)
     meven = 1 - bit_at(0)
     ax = sx.select(meven, ax)
     ay = sy.select(meven, ay)
     z = sz.select(meven, z)
+    return ax, ay, z
+
+
+def _ladder_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
+    fs = curve.field
+    d = fs.ndigits
+    x = VGFp([x_ref[0, k] for k in range(d)], fs)
+    y = VGFp([y_ref[0, k] for k in range(d)], fs)
+    ax, ay, z = _ladder_core(
+        lambda dig: scalars_ref[0, pl.ds(dig, 1)][0], x, y, curve
+    )
     for k in range(d):
         ax_ref[0, k] = ax.digs[k]
         ay_ref[0, k] = ay.digs[k]
         z_ref[0, k] = z.digs[k]
+
+
+@functools.partial(jax.jit, static_argnames=("curve",))
+def _ladder_xla_flat(scalars, xm, ym, curve: CurveSpec):
+    fs = curve.field
+    d = fs.ndigits
+    x = VGFp([xm[k] for k in range(d)], fs)
+    y = VGFp([ym[k] for k in range(d)], fs)
+    ax, ay, z = _ladder_core(
+        lambda dig: lax.dynamic_index_in_dim(scalars, dig, 0, keepdims=False),
+        x, y, curve,
+    )
+    return tuple(ax.digs), tuple(ay.digs), tuple(z.digs)
+
+
+def ladder_xla_planes(scalars, xm, ym, curve: CurveSpec):
+    """XLA-compiled twin of ladder_mont_planes: the SAME compute graph
+    (_ladder_core — fused ZDAU, masked swaps, parity fixup) on (D, B) planes
+    without the Pallas plumbing. CPU-compilable.
+
+    The jitted core returns FLAT per-digit arrays and the (D, B) stacking
+    happens outside the jit: XLA:CPU's emitter degenerates on a concatenate
+    whose producers are deep fused elementwise chains (the compiled
+    executable runs essentially forever — minutes-to-unbounded for a toy
+    64-bit ladder; measured 40 s with the concat hoisted out vs >40 min
+    with it inside, jaxlib 0.9.0). Outside the jit the stack is a trivial
+    copy of materialized arrays on every backend."""
+    axd, ayd, zd = _ladder_xla_flat(scalars, xm, ym, curve)
+    return jnp.stack(axd), jnp.stack(ayd), jnp.stack(zd)
 
 
 @functools.partial(jax.jit, static_argnames=("curve", "tile", "interpret"))

@@ -25,9 +25,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ecsimd_tpu.curves import group
 from ecsimd_tpu.field import GFp
 from ecsimd_tpu.kernels import digits as dg
+from ecsimd_tpu.kernels.coz import add_z2_1_fused, jac_add as _jac_add, jac_dbl as _jac_dbl
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
 
@@ -36,57 +36,28 @@ LANES = 128
 W = 4
 
 
-def _combo(fs, *terms):
-    """VGFp from one fused multi-term Solinas reduction."""
-    return VGFp(dg.reduce_combo(list(terms), fs), fs)
+def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = False):
+    """The full windowed scalar-mult computation on VGFp digit lists.
 
+    ``read_plane(dig)`` returns the scalar digit plane ``dig`` (possibly a
+    traced index) as an array shaped like the digits of ``x``. Shared by the
+    Pallas kernel (VMEM-ref reads) and the CPU-compilable XLA twin
+    (``window_xla_planes``) so the compute path — table build, masked
+    gathers, fused group law, parity fixup — is testable without TPU
+    hardware or interpret mode (which degenerates on this kernel's table
+    build; see tests/test_kernels.py).
 
-def _jac_dbl(x1, y1, z1, curve):
-    """dbl-2001-b for a = -3 (3M+5S), with the 3x/4x/8x factors fused into
-    the Solinas reduction and each output coordinate produced by ONE fused
-    reduction of its full polynomial (grids + subtracted values)."""
-    fs = x1.fs
-    d = fs.ndigits
-    delta = z1.sqr()
-    gamma = y1.sqr()
-    beta4 = x1.mul_scaled(gamma, 4)
-    alpha = (x1 - delta).mul_scaled(x1 + delta, 3)
-    x3 = _combo(fs, (dg._grid_sqr(alpha.digs, d), 1), (beta4.digs, -2))
-    z3 = _combo(fs, (dg._grid_sqr((y1 + z1).digs, d), 1),
-                (gamma.digs, -1), (delta.digs, -1))
-    y3 = _combo(fs, (dg._grid(alpha.digs, (beta4 - x3).digs, d), 1),
-                (dg._grid_sqr(gamma.digs, d), -8))
-    return x3, y3, z3
-
-
-def _jac_add(x1, y1, z1, x2, y2, z2):
-    """General Jacobian add (11M+5S), x3/y3 as single fused reductions;
-    degenerate when the x lines collide."""
-    fs = x1.fs
-    d = fs.ndigits
-    z1z1 = z1.sqr()
-    z2z2 = z2.sqr()
-    u1 = x1 * z2z2
-    u2 = x2 * z1z1
-    s1 = y1 * z2z2 * z2
-    s2 = y2 * z1z1 * z1
-    h = u2 - u1
-    r = s2 - s1
-    hh = h.sqr()
-    hhh = h * hh
-    v = u1 * hh
-    x3 = _combo(fs, (dg._grid_sqr(r.digs, d), 1), (hhh.digs, -1), (v.digs, -2))
-    y3 = _combo(fs, (dg._grid(r.digs, (v - x3).digs, d), 1), (dg._grid(s1.digs, hhh.digs, d), -1))
-    z3 = z1 * z2 * h
-    return x3, y3, z3
-
-
-def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
+    ``unroll=True`` replaces the fori_loops with Python loops (static digit
+    indices and shift counts). The Pallas kernel keeps rolled loops (compact
+    Mosaic trace); the XLA twin unrolls because XLA:CPU's while-loop
+    execution degenerates on this body (minutes per toy-curve run vs
+    milliseconds unrolled — same ops, loop overhead only)."""
     fs = curve.field
     d = fs.ndigits
+    # _jac_dbl hard-codes the a = -3 doubling (dbl-2001-b); fail at trace time
+    # for any other curve (the reference's wst_curve_am3 concept).
+    assert curve.a == fs.p - 3, f"{curve.name}: window kernel requires a = -3"
 
-    x = VGFp([x_ref[0, k] for k in range(d)], fs)
-    y = VGFp([y_ref[0, k] for k in range(d)], fs)
     one = x.const_like(1)
     opp_y = y.opposite()
 
@@ -101,7 +72,10 @@ def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
         accx, accy, accz = (VGFp(v, fs) for v in state)
         # off == 0 would shift plane_next by 16 (undefined for int32); the
         # window is fully inside `plane` then, so mask the contribution
-        spill = jnp.where(off == 0, 0, plane_next << (DIGIT_BITS - off))
+        if isinstance(off, int):
+            spill = 0 if off == 0 else plane_next << (DIGIT_BITS - off)
+        else:
+            spill = jnp.where(off == 0, 0, plane_next << (DIGIT_BITS - off))
         w5 = (lax.shift_right_logical(plane, off) | spill) & 31
         v = w5 | 1
         sd = v - 16  # odd, in [-15, 15]
@@ -130,30 +104,50 @@ def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
     # Outer loop over scalar digits (MSB->LSB), inner over the 4 windows per
     # digit — the dynamic VMEM row reads happen once per digit, not per
     # window (each costs ~thousands of cycles; same hoist as the ladder).
-    def outer(t, state):
-        dig = (d - 1) - t
-        plane = scalars_ref[0, pl.ds(dig, 1)][0]
-        nxt = jnp.minimum(dig + 1, d - 1)
-        plane_next = jnp.where(dig == d - 1, 0, scalars_ref[0, pl.ds(nxt, 1)][0])
-
-        def inner(u, st):
-            off = DIGIT_BITS - W - u * W  # 12, 8, 4, 0
-            return window_step(plane, plane_next, off, st)
-
-        return lax.fori_loop(0, DIGIT_BITS // W, inner, state)
-
     # init: d_{m-1} = 1 always => acc = P
     state = (list(x.digs), list(y.digs), list(one.digs))
-    state = lax.fori_loop(0, d, outer, state)
+    if unroll:
+        zero_plane = jnp.zeros_like(x.digs[0])
+        for dig in range(d - 1, -1, -1):
+            plane = read_plane(dig)
+            plane_next = read_plane(dig + 1) if dig + 1 < d else zero_plane
+            for u in range(DIGIT_BITS // W):
+                off = DIGIT_BITS - W - u * W  # 12, 8, 4, 0
+                state = window_step(plane, plane_next, off, state)
+    else:
+        def outer(t, state):
+            dig = (d - 1) - t
+            plane = read_plane(dig)
+            nxt = jnp.minimum(dig + 1, d - 1)
+            plane_next = jnp.where(dig == d - 1, 0, read_plane(nxt))
+
+            def inner(u, st):
+                off = DIGIT_BITS - W - u * W  # 12, 8, 4, 0
+                return window_step(plane, plane_next, off, st)
+
+            return lax.fori_loop(0, DIGIT_BITS // W, inner, state)
+
+        state = lax.fori_loop(0, d, outer, state)
     accx, accy, accz = (VGFp(v, fs) for v in state)
 
-    # parity fixup for even scalars (as in the ladder)
-    sx, sy, sz = group.add_z2_1(accx, accy, accz, x, opp_y)
-    bit0 = scalars_ref[0, pl.ds(0, 1)][0] & 1
+    # parity fixup for even scalars (as in the ladder), fused reductions
+    sx, sy, sz = add_z2_1_fused(accx, accy, accz, x, opp_y)
+    bit0 = read_plane(0) & 1
     meven = 1 - bit0
     accx = sx.select(meven, accx)
     accy = sy.select(meven, accy)
     accz = sz.select(meven, accz)
+    return accx, accy, accz
+
+
+def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
+    d = curve.field.ndigits
+    fs = curve.field
+    x = VGFp([x_ref[0, k] for k in range(d)], fs)
+    y = VGFp([y_ref[0, k] for k in range(d)], fs)
+    accx, accy, accz = _window_core(
+        lambda dig: scalars_ref[0, pl.ds(dig, 1)][0], x, y, curve
+    )
     for k in range(d):
         ax_ref[0, k] = accx.digs[k]
         ay_ref[0, k] = accy.digs[k]
@@ -172,6 +166,7 @@ def window_mont_planes(
     assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
     lanes = min(LANES, tile)
     s = tile // lanes
+    assert s * lanes == tile, f"tile {tile} not a multiple of {lanes}"
     nblk = b // tile
 
     def to_blocks(a):
@@ -191,6 +186,27 @@ def window_mont_planes(
         interpret=interpret,
     )(to_blocks(scalars), to_blocks(xm), to_blocks(ym))
     return from_blocks(ax), from_blocks(ay), from_blocks(z)
+
+
+def window_xla_planes(scalars, xm, ym, curve: CurveSpec):
+    """XLA twin of window_mont_planes: the SAME compute graph
+    (_window_core — fused formulas, masked gathers, parity fixup) on (D, B)
+    planes without the Pallas plumbing, so pytest exercises the window path
+    end-to-end without TPU hardware.
+
+    Runs the unrolled core EAGERLY (op-by-op on the host backend): XLA:CPU
+    degenerates on this body under jit in every form tried — rolled loops
+    execute at >600s/run, the unrolled graph compiles at >600s — while the
+    identical ops dispatch eagerly in seconds. Correctness coverage only;
+    the performance path is the Pallas kernel."""
+    fs = curve.field
+    d = fs.ndigits
+    x = VGFp([xm[k] for k in range(d)], fs)
+    y = VGFp([ym[k] for k in range(d)], fs)
+    accx, accy, accz = _window_core(
+        lambda dig: scalars[dig], x, y, curve, unroll=True
+    )
+    return jnp.stack(accx.digs), jnp.stack(accy.digs), jnp.stack(accz.digs)
 
 
 def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False):

@@ -42,7 +42,6 @@ def scalar_mult(k: int, pt, curve: CurveSpec):
     # table of odd multiples 1P..15P (affine-int oracle uses plain Jacobian)
     table = {1: (x, y, 1)}
     two = coz.dblu((x, y, 1), curve)[0]
-    cur = two
     prev = table[1]
     for j in range(3, 17, 2):
         # j*P = (j-2)*P + 2P via generic Jacobian add on ints

@@ -132,6 +132,87 @@ def test_ladder_kernel_toy_interpret(rng):
 
 # NOTE: no interpret-mode toy test for the window kernel: pallas interpret
 # degenerates (>400s for the 8-entry table build alone, though the same ops
-# run in <1s eagerly and compile fine on TPU). Window coverage: the fused
-# reduce_combo harness above, test_window.py oracle tests, and
-# test_window_kernel_tpu on hardware.
+# run in <1s eagerly and compile fine on TPU). Instead the kernel body is
+# shared with an XLA-compiled twin (window.window_xla_planes wraps the same
+# _window_core) tested end-to-end below on CPU; the Pallas plumbing around it
+# is covered by the ladder/comb interpret tests and test_window_kernel_tpu.
+
+
+def _affine_from_solinas_planes(ax, ay, z, curve):
+    """Jacobian result planes -> affine (x, y) ints, host-side.
+
+    Valid for Solinas fields only (internal domain == classical). Keeps the
+    twin tests off the eager XLA to_affine path, which dispatches thousands
+    of tiny un-jitted ops on CPU (minutes per point)."""
+    assert curve.field.reduction == "solinas"
+    p = curve.field.p
+    out = []
+    for X, Y, Z in zip(
+        convert.planes_to_ints(np.asarray(ax)),
+        convert.planes_to_ints(np.asarray(ay)),
+        convert.planes_to_ints(np.asarray(z)),
+    ):
+        zi = pow(Z, p - 2, p)
+        out.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    return out
+
+
+def _check_window_xla(curve, ks):
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.kernels import window
+
+    fs = curve.field
+    d = fs.ndigits
+    xs = jnp.asarray(convert.broadcast_int(curve.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(curve.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, curve))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    ax, ay, z = window.window_xla_planes(
+        scalars, jg.x.planes, jg.y.planes, curve
+    )
+    got = _affine_from_solinas_planes(ax, ay, z, curve)
+    assert got == [coz.scalar_mult_affine(k, curve.gx, curve.gy, curve) for k in ks]
+
+
+def test_ladder_core_xla_toy(rng):
+    """The ladder kernel's exact compute path (fused ZDAU, masked swaps,
+    parity fixup) XLA-compiled on CPU via the shared _ladder_core."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.kernels import ladder
+    from tests.toy import TOY64
+
+    fs = TOY64.field
+    d = fs.ndigits
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, 1 << 63)]
+    xs = jnp.asarray(convert.broadcast_int(TOY64.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOY64.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOY64))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    ax, ay, z = ladder.ladder_xla_planes(scalars, jg.x.planes, jg.y.planes, TOY64)
+    got = _affine_from_solinas_planes(ax, ay, z, TOY64)
+    assert got == [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
+
+
+def test_window_core_xla_toy(rng):
+    """Full window compute path (table build, masked gather, fused group law,
+    parity fixup) XLA-compiled on CPU — toy curve, both parities."""
+    from tests.toy import TOY64
+
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, 1 << 63)]
+    _check_window_xla(TOY64, ks)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ECSIMD_SLOW_TESTS"),
+    reason="P-256 window XLA cold compile >20 min on CPU (set ECSIMD_SLOW_TESTS=1)",
+)
+def test_window_core_xla_p256(rng):
+    """Same, on real P-256 — the flagship kernel's full-width compute path
+    without TPU hardware. Cold compile >20 min on CPU (cached thereafter),
+    so gated behind ECSIMD_SLOW_TESTS."""
+    ks = [1, 2, 5, 6] + [rng.randrange(1, P256.order) for _ in range(3)]
+    _check_window_xla(P256, ks)
