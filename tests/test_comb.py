@@ -1,0 +1,105 @@
+"""Fixed-base comb scalar multiplication (shared tables, zero doublings).
+
+The reference's headline bench and its competitor baselines all multiply the
+*base point* (benchs/curve_group.cpp:30-34, benchs/p256_ref.cpp:20-100); the
+comb kernel is the TPU-native fast path for that fixed-base case. Tests:
+recoding identity vs Python ints, table consistency, XLA path vs oracle on
+P-256, and the Pallas kernel end-to-end in interpret mode on the toy curve
+(tractable because the tables are host-built — no in-kernel table loops).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ecsimd_tpu import convert
+from ecsimd_tpu.kernels import comb
+from ecsimd_tpu.oracle import coz
+from ecsimd_tpu.specs import P256
+from tests.toy import TOY64
+
+
+def test_recoding_identity(rng):
+    """k (odd) == sum_i (2*e_i - 255) * 2^(8i) + 2^nbits, e_i the 9-bit
+    window >> 1; even k recodes as k+1 (parity fixup subtracts B)."""
+    for curve in (P256, TOY64):
+        nbits = curve.field.nbits
+        npos = nbits // comb.W
+        for k in [1, 2, 3, 255, 256, 257] + [rng.randrange(1, curve.order) for _ in range(8)]:
+            ko = k if k & 1 else k + 1
+            es = [((ko >> (comb.W * i)) & (2 * comb.NENT - 1)) >> 1 for i in range(npos)]
+            total = sum((2 * e - (comb.NENT - 1)) << (comb.W * i) for i, e in enumerate(es))
+            assert total + (1 << nbits) == ko, (curve.name, k)
+            # the traced index extractor must agree with the Python closed form
+            d = curve.field.ndigits
+            planes = jnp.asarray(convert.ints_to_planes([k], d))
+            got = [int(v) for v in np.asarray(comb.entry_indices(planes, curve))[:, 0]]
+            assert got == es, (curve.name, k)
+
+
+def _naive_mult(k, curve):
+    """Double-and-add second opinion on the oracle jac formulas — total on
+    every k (the co-Z ladder oracle degenerates on special forms like 2^nbits)."""
+    from ecsimd_tpu.oracle import window as ow
+
+    base, acc = (curve.gx, curve.gy, 1), None
+    while k:
+        if k & 1:
+            acc = base if acc is None else ow._jac_add(acc, base, curve)
+        base = ow._jac_dbl(base, curve)
+        k >>= 1
+    return coz.jacobian_to_affine(acc, curve)
+
+
+def test_base_tables(rng):
+    """Entry e of position i holds affine (2e - 255) * 2^(8i) * G; top holds
+    2^nbits * G (classical-domain check vs a naive double-and-add oracle)."""
+    curve = TOY64
+    fs = curve.field
+    tables, top, negbase = comb.base_tables(curve, curve.gx, curve.gy)
+    npos = fs.nbits // comb.W
+    assert tables.shape == (npos, comb.NENT, 2 * fs.ndigits)
+    for i, e in [(0, 0), (0, comb.NENT - 1), (1, 17), (npos - 1, rng.randrange(comb.NENT))]:
+        dgt = 2 * e - (comb.NENT - 1)
+        row = tables[i, e]
+        d = fs.ndigits
+        gx = sum(int(v) << (16 * j) for j, v in enumerate(row[:d]))
+        gy = sum(int(v) << (16 * j) for j, v in enumerate(row[d:]))
+        ex, ey = _naive_mult(abs(dgt) << (comb.W * i), curve)
+        if dgt < 0:
+            ey = (fs.p - ey) % fs.p
+        assert (gx, gy) == (ex, ey), (i, e, dgt)
+    assert top == _naive_mult(1 << fs.nbits, curve)
+    assert negbase == (curve.gx, (fs.p - curve.gy) % fs.p)
+
+
+def _check(curve, ks, **kw):
+    d = curve.field.ndigits
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    pt = comb.scalar_mult_base(scalars, curve, **kw)
+    aff = pt.to_affine()
+    got = list(zip(convert.planes_to_ints(np.asarray(aff.x)),
+                   convert.planes_to_ints(np.asarray(aff.y))))
+    want = [coz.scalar_mult_affine(k, curve.gx, curve.gy, curve) for k in ks]
+    assert got == want
+
+
+def test_comb_xla_toy(rng):
+    ks = [1, 2, 3, 4, 255, 256, rng.randrange(1, TOY64.order), rng.randrange(1, TOY64.order)]
+    _check(TOY64, ks, use_kernel=False)
+
+
+def test_comb_xla_p256(rng):
+    """Real P-256 through the XLA comb path (fori_loop keeps the compile
+    tractable on CPU; ~80 s cold, cached thereafter)."""
+    ks = [1, 2, P256.order - 2, 5] + [rng.randrange(1, P256.order) for _ in range(4)]
+    _check(P256, ks, use_kernel=False)
+
+
+def test_comb_kernel_toy_interpret(rng):
+    """End-to-end Pallas comb kernel in interpret mode, per-lane-distinct
+    scalars, both parities (the even-k fixup path is lane-divergent)."""
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
+    ks = ks * 16  # tile = 128 lanes
+    _check(TOY64, ks, tile=128, use_kernel=True, interpret=True)
