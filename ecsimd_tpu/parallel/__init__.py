@@ -78,14 +78,68 @@ def gather_planes(planes) -> np.ndarray:
     return np.asarray(jax.device_get(planes))
 
 
-def initialize_distributed(**kwargs) -> None:
-    """Multi-host bring-up: jax.distributed.initialize passthrough.
+def initialize_distributed(timeout_s: float = 120.0, **kwargs) -> None:
+    """Multi-host bring-up: jax.distributed.initialize with bounded wait.
 
     The TPU-native replacement for a NCCL/MPI backend (the reference has none;
     SURVEY.md §2.3): after this, jax.devices() spans the pod slice and the same
     mesh/sharding code runs unchanged.
+
+    Fail-fast policy (SURVEY.md §5): a missing/wedged peer surfaces as a
+    RuntimeError within ``timeout_s`` instead of hanging the job — the
+    coordinator barrier gets ``initialization_timeout``, and callers should
+    follow up with :func:`health_check` before the first real collective.
     """
-    jax.distributed.initialize(**kwargs)
+    kwargs.setdefault("initialization_timeout", int(timeout_s))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # surface a uniform, actionable error
+        raise RuntimeError(
+            f"distributed init failed within {timeout_s}s "
+            f"(coordinator {kwargs.get('coordinator_address')!r}): {e}"
+        ) from e
+
+
+def health_check(mesh: Mesh, timeout_s: float = 60.0, axis_name: str = BATCH_AXIS) -> None:
+    """Fail fast on a wedged collective: run one tiny psum over the mesh and
+    raise RuntimeError if it does not complete within ``timeout_s``.
+
+    A hung ICI/DCN collective blocks inside the runtime, so the psum runs on a
+    worker thread and the caller's wait is bounded — the error fires in bounded
+    time even though the stuck thread itself cannot be cancelled (it keeps the
+    process alive for the supervisor to kill, which is the fail-fast contract
+    SURVEY.md §5 asks for).
+    """
+    import threading
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    n = mesh.devices.size
+    x = jax.device_put(
+        jnp.ones((n,), jnp.int32), NamedSharding(mesh, PartitionSpec(axis_name))
+    )
+    f = shard_map(
+        lambda v: jax.lax.psum(v, axis_name),
+        mesh=mesh,
+        in_specs=PartitionSpec(axis_name),
+        out_specs=PartitionSpec(),
+    )
+    result: list = []
+
+    def run():
+        result.append(int(jax.jit(f)(x)[0]))
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise RuntimeError(
+            f"collective health check did not complete within {timeout_s}s "
+            f"({n}-device mesh): a peer is unreachable or the interconnect is wedged"
+        )
+    if not result or result[0] != n:
+        raise RuntimeError(f"collective health check wrong result: {result} != [{n}]")
 
 
 def local_batch_to_global(planes, mesh: Mesh, axis_name: str = BATCH_AXIS):
@@ -100,6 +154,7 @@ def scalar_mult_sharded(
     axis_name: str = BATCH_AXIS,
     use_kernel: bool = True,
     tile: int | None = None,
+    interpret: bool = False,
 ):
     """Mesh-sharded batched scalar multiplication (k_i * P_i per lane).
 
@@ -108,6 +163,12 @@ def scalar_mult_sharded(
     Zero collectives: the ladder is lane-local (the reference's
     zero-horizontal-communication property, SURVEY.md §5). Inputs may be
     unsharded; outputs carry the batch sharding.
+
+    ``pt`` must be a z = 1 Jacobian batch (``JacobianPoint.from_affine``); the
+    per-shard ladder substitutes z = 1 and any other z is silently ignored.
+    The batch is auto-padded (lane-0 copies) to a multiple of
+    ``n_devices * tile`` (kernel path) or ``n_devices`` (XLA path) and sliced
+    back, so any batch size works.
     """
     from jax import shard_map
 
@@ -119,12 +180,17 @@ def scalar_mult_sharded(
     curve = pt.curve
     fs = curve.field
     spec = P(None, axis_name)
+    n_dev = mesh.devices.size
+    multiple = n_dev * (_ladder.DEFAULT_TILE if tile is None else tile) if use_kernel else n_dev
+    scalars, b_true = pad_batch(scalars, multiple)
+    xm_in, _ = pad_batch(pt.x.planes, multiple)
+    ym_in, _ = pad_batch(pt.y.planes, multiple)
 
     if use_kernel:
         t = _ladder.DEFAULT_TILE if tile is None else tile
 
         def per_shard(s, xm, ym):
-            return _ladder.ladder_mont_planes(s, xm, ym, curve, tile=t)
+            return _ladder.ladder_mont_planes(s, xm, ym, curve, tile=t, interpret=interpret)
 
     else:
 
@@ -142,5 +208,6 @@ def scalar_mult_sharded(
         out_specs=(spec, spec, spec),
         check_vma=False,
     )
-    ax, ay, z = jax.jit(f)(scalars, pt.x.planes, pt.y.planes)
+    ax, ay, z = jax.jit(f)(scalars, xm_in, ym_in)
+    ax, ay, z = ax[:, :b_true], ay[:, :b_true], z[:, :b_true]
     return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)

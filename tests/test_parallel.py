@@ -70,6 +70,51 @@ def test_scalar_mult_sharded_xla(mesh, rng):
     assert got == [coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks]
 
 
+def test_scalar_mult_sharded_kernel_toy(mesh, rng):
+    """The Pallas-kernel path (what bench/scaling.py times) through shard_map
+    on the 8-device mesh — interpret-mode toy curve, bit-exact vs the oracle.
+    Batch 13 also exercises the auto-pad to n_devices * tile."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.oracle import coz
+    from tests.toy import TOY64
+
+    d = TOY64.field.ndigits
+    ks = [2, 5, 1, 6] + [rng.randrange(1, 1 << 63) for _ in range(9)]
+    xs = jnp.asarray(convert.broadcast_int(TOY64.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOY64.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOY64))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    res = parallel.scalar_mult_sharded(
+        scalars, jg, mesh, use_kernel=True, tile=4, interpret=True
+    )
+    aff = res.to_affine()
+    got = list(zip(convert.planes_to_ints(aff.x), convert.planes_to_ints(aff.y)))
+    assert got == [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
+
+
+def test_scalar_mult_sharded_autopad_xla(mesh, rng):
+    """XLA path with a batch that is not a multiple of the mesh size."""
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.oracle import coz
+
+    ks = [rng.randrange(1, P256.order) for _ in range(11)]
+    g = api.generator_batch(P256, 11)
+    jg = JacobianPoint.from_affine(g)
+    res = parallel.scalar_mult_sharded(
+        api.scalars_from_ints(ks, P256), jg, mesh, use_kernel=False
+    )
+    aff = res.to_affine()
+    assert aff.x.shape[-1] == 11
+    got = list(zip(convert.planes_to_ints(aff.x), convert.planes_to_ints(aff.y)))
+    assert got == [coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks]
+
+
+def test_health_check(mesh):
+    parallel.health_check(mesh, timeout_s=120.0)
+
+
 def test_dryrun_entry():
     # the driver's multichip dry run, in-process (8 virtual devices)
     import __graft_entry__ as ge
