@@ -153,15 +153,27 @@ def gather_entries(tables_f32, idx):
 
 
 def _comb_kernel(
-    sc_ref, ent_ref, ax_ref, ay_ref, z_ref, accx_ref, accy_ref, accz_ref,
+    par_ref, idx_ref, tbl_ref, ax_ref, ay_ref, z_ref, accx_ref, accy_ref, accz_ref,
     *, curve: CurveSpec, npos: int, top, negbase
 ):
     fs = curve.field
     d = fs.ndigits
     j = pl.program_id(1)
 
-    ex = VGFp([ent_ref[0, 0, k] for k in range(d)], fs)
-    ey = VGFp([ent_ref[0, 0, d + k] for k in range(d)], fs)
+    # In-kernel one-hot x table gather on the MXU: the (NENT, tile) one-hot
+    # lives only in VMEM (the host-side XLA formulation materializes ~0.5 GB
+    # of one-hot + pre-gathered entry HBM traffic per 16k batch — measured
+    # ~35% of kernel runtime). Exact: one product per output, table values
+    # < 2^16 < f32's 24-bit mantissa, HIGHEST precision on the MXU.
+    s, lanes = idx_ref.shape[2], idx_ref.shape[3]
+    idx = idx_ref[0, 0].reshape(1, s * lanes)
+    oh = (lax.broadcasted_iota(jnp.int32, (NENT, s * lanes), 0) == idx).astype(jnp.float32)
+    ent = lax.dot_general(
+        tbl_ref[0], oh, (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+    ).astype(jnp.int32).reshape(2 * d, s, lanes)
+    ex = VGFp([ent[k] for k in range(d)], fs)
+    ey = VGFp([ent[d + k] for k in range(d)], fs)
 
     @pl.when(j == 0)
     def _init():
@@ -195,7 +207,7 @@ def _comb_kernel(
         sx, sy, sz = add_z2_1_fused(
             x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1])
         )
-        meven = 1 - (sc_ref[0, 0] & 1)
+        meven = 1 - par_ref[0]
         x1 = sx.select(meven, x1)
         y1 = sy.select(meven, y1)
         z1 = sz.select(meven, z1)
@@ -230,17 +242,18 @@ def comb_mont_planes(
     assert s * lanes == tile, f"tile {tile} not a multiple of {lanes}"
     nblk = b // tile
 
-    ent = gather_entries(tables_f32, entry_indices(scalars, curve))
-    # (npos, B, 2d) -> (nblk, npos, 2d, s, lanes): batch split mirrors the
-    # scalar blocks so lane order matches the other kernels
-    ent_blocks = ent.transpose(0, 2, 1).reshape(npos, 2 * d, nblk, s, lanes)
-    ent_blocks = ent_blocks.transpose(2, 0, 1, 3, 4)
-    sc_blocks = scalars.reshape(d, nblk, s, lanes).transpose(1, 0, 2, 3)
+    # (npos, B) entry indices + (B,) parity bits; the gather itself runs
+    # inside the kernel (one-hot x table on the MXU, VMEM-resident)
+    idx = entry_indices(scalars, curve)
+    idx_blocks = idx.reshape(npos, nblk, s, lanes).transpose(1, 0, 2, 3)
+    par_blocks = (scalars[0] & 1).reshape(nblk, s, lanes)
+    # tables as (npos, 2d, NENT) f32 so the per-position block is one row-major
+    # (2d, NENT) matmul operand
+    tbl_t = tables_f32.transpose(0, 2, 1)
 
-    spec_sc = pl.BlockSpec((1, d, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    spec_ent = pl.BlockSpec(
-        (1, 1, 2 * d, s, lanes), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
-    )
+    spec_par = pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_idx = pl.BlockSpec((1, 1, s, lanes), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    spec_tbl = pl.BlockSpec((1, 2 * d, NENT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, d, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nblk, d, s, lanes), jnp.int32)
     scratch = [pltpu.VMEM((d, s, lanes), jnp.int32) for _ in range(3)]
@@ -248,12 +261,12 @@ def comb_mont_planes(
     ax, ay, z = pl.pallas_call(
         functools.partial(_comb_kernel, curve=curve, npos=npos, top=top, negbase=negbase),
         grid=(nblk, npos),
-        in_specs=[spec_sc, spec_ent],
+        in_specs=[spec_par, spec_idx, spec_tbl],
         out_specs=(spec_out, spec_out, spec_out),
         out_shape=(out_shape, out_shape, out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(sc_blocks, ent_blocks)
+    )(par_blocks, idx_blocks, tbl_t)
 
     def from_blocks(a):
         return a.transpose(1, 0, 2, 3).reshape(d, b)
