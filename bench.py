@@ -131,12 +131,12 @@ def main():
         except ZeroDivisionError:
             window_skip.add(i)
 
-    tables, top, negbase = comb.base_tables(P256, P256.gx, P256.gy)
+    tables, negbase = comb.base_tables(P256, P256.gx, P256.gy)
     tables_f32 = jnp.asarray(tables.astype(np.float32))
     fns = {
         "comb": jax.jit(
             lambda s: comb.comb_mont_planes(
-                s, tables_f32, P256, tuple(top), tuple(negbase), tile=tile
+                s, tables_f32, P256, tuple(negbase), tile=tile
             )
         ),
         "window": jax.jit(lambda s: window.window_mont_planes(s, xm, ym, P256, tile=tile)),

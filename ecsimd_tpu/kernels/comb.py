@@ -41,7 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.field import GFp
-from ecsimd_tpu.kernels.coz import add_z2_1_fused
+from ecsimd_tpu.kernels.coz import (
+    add_z2_1_fused,
+    aff_add_fused as coz_aff_add,
+    jac_add as _jac_add,
+)
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec, int_to_digits
 
@@ -77,11 +81,14 @@ def _to_internal(v: int, fs) -> int:
 def base_tables(curve: CurveSpec, bx: int, by: int):
     """Host-precomputed comb tables for base B = (bx, by).
 
-    Returns (tables, top, negbase):
+    Returns (tables, negbase):
       tables: (npos, 256, 2*d) int32 — internal-domain digit rows, entry e of
-              position i holding affine (x, y) of (2e - 255) * 2^(8i) * B;
-      top:    classical affine (x, y) of 2^nbits * B (the recoding's constant
-              top digit — the accumulator's initial value);
+              position i >= 1 holding affine (x, y) of (2e - 255) * 2^(8i) * B;
+              position 0 additionally folds in the recoding's constant top
+              digit: entry e holds affine of (2^nbits + (2e - 255)) * B, so
+              the accumulator seeds directly from the position-0 gather
+              (z = 1) and the kernel chain is one add per position with no
+              special init step;
       negbase: classical affine (x, y) of -B (parity fixup operand).
     """
     from ecsimd_tpu.oracle import window as ow
@@ -103,7 +110,16 @@ def base_tables(curve: CurveSpec, bx: int, by: int):
             base = ow._jac_dbl(base, curve)
     top_jac = base  # 2^(8*npos) * B = 2^nbits * B
 
-    flat = [pt for row in jacs for pt in row] + [top_jac]
+    # position 0: signed entries with top folded in, (2^nbits +- (2m+1)) * B
+    # (never infinity/degenerate: |2^nbits mod order| >> 255 for any real
+    # curve — the top digit and a window digit cannot cancel)
+    pos0 = []
+    for m in range(NENT // 2):
+        x, y, z = jacs[0][m]
+        pos0.append(ow._jac_add(top_jac, (x, y, z), curve))
+        pos0.append(ow._jac_add(top_jac, (x, (p - y) % p, z), curve))
+
+    flat = [pt for row in jacs[1:] for pt in row] + pos0
     zinv = _batch_inv([z for _, _, z in flat], p)
     aff = []
     for (x, y, _), zi in zip(flat, zinv):
@@ -111,14 +127,23 @@ def base_tables(curve: CurveSpec, bx: int, by: int):
         aff.append((x * zi2 % p, y * zi2 % p * zi % p))
 
     tables = np.zeros((npos, NENT, 2 * d), np.int32)
-    for i in range(npos):
+
+    def put(i, e, ax, ay):
+        tables[i, e, :d] = int_to_digits(_to_internal(ax, fs), d)
+        tables[i, e, d:] = int_to_digits(_to_internal(ay, fs), d)
+
+    for i in range(1, npos):
         for m in range(NENT // 2):  # magnitude 2m+1
-            ax, ay = aff[i * (NENT // 2) + m]
-            for e, yy in (((NENT - 1 + (2 * m + 1)) // 2, ay),  # +d entry
-                          ((NENT - 1 - (2 * m + 1)) // 2, (p - ay) % p)):  # -d
-                tables[i, e, :d] = int_to_digits(_to_internal(ax, fs), d)
-                tables[i, e, d:] = int_to_digits(_to_internal(yy, fs), d)
-    return tables, aff[-1], (bx, (p - by) % p)
+            ax, ay = aff[(i - 1) * (NENT // 2) + m]
+            put(i, (NENT - 1 + (2 * m + 1)) // 2, ax, ay)  # +d entry
+            put(i, (NENT - 1 - (2 * m + 1)) // 2, ax, (p - ay) % p)  # -d
+    off = (npos - 1) * (NENT // 2)
+    for m in range(NENT // 2):
+        px, py = aff[off + 2 * m]  # top + (2m+1) B
+        nx, ny = aff[off + 2 * m + 1]  # top - (2m+1) B
+        put(0, (NENT - 1 + (2 * m + 1)) // 2, px, py)
+        put(0, (NENT - 1 - (2 * m + 1)) // 2, nx, ny)
+    return tables, (bx, (p - by) % p)
 
 
 def entry_indices(scalars, curve: CurveSpec):
@@ -154,81 +179,193 @@ def gather_entries(tables_f32, idx):
 
 def _comb_kernel(
     par_ref, idx_ref, tbl_ref, ax_ref, ay_ref, z_ref, accx_ref, accy_ref, accz_ref,
-    *, curve: CurveSpec, npos: int, top, negbase
+    *, curve: CurveSpec, npos: int, negbase, unroll: int
 ):
+    """Grid (nblk, npos // unroll): each step gathers ``unroll`` positions and
+    chains one fused mixed add per position, accumulator in VMEM scratch.
+
+    The body is UNIFORM across steps: the recoding's constant top digit is
+    folded into the position-0 table (base_tables), so seeding the
+    accumulator is a per-lane select against the first gathered entry at
+    j == 0 instead of a separate init formula. The one wasted add at j == 0
+    operates on whatever the scratch holds (bounded int32 values, wraparound
+    semantics) and its result is discarded by the select. Unrolling
+    amortizes the per-grid-step fixed cost (block bookkeeping, output
+    write-backs, pipeline bubbles around the serial scratch dependency) —
+    measured at ~8-9 us/step against ~6.5 us of add work at unroll=1."""
     fs = curve.field
     d = fs.ndigits
     j = pl.program_id(1)
-
-    # In-kernel one-hot x table gather on the MXU: the (NENT, tile) one-hot
-    # lives only in VMEM (the host-side XLA formulation materializes ~0.5 GB
-    # of one-hot + pre-gathered entry HBM traffic per 16k batch — measured
-    # ~35% of kernel runtime). Exact: one product per output, table values
-    # < 2^16 < f32's 24-bit mantissa, HIGHEST precision on the MXU.
     s, lanes = idx_ref.shape[2], idx_ref.shape[3]
-    idx = idx_ref[0, 0].reshape(1, s * lanes)
-    oh = (lax.broadcasted_iota(jnp.int32, (NENT, s * lanes), 0) == idx).astype(jnp.float32)
-    ent = lax.dot_general(
-        tbl_ref[0], oh, (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
-    ).astype(jnp.int32).reshape(2 * d, s, lanes)
-    ex = VGFp([ent[k] for k in range(d)], fs)
-    ey = VGFp([ent[d + k] for k in range(d)], fs)
 
-    @pl.when(j == 0)
-    def _init():
-        # acc = top + T_0[e_0]: the recoding's constant top digit contributes
-        # 2^nbits * B, added here against the position-0 entry (z2 = 1).
-        tx = ex.const_like(top[0])
-        ty = ex.const_like(top[1])
-        x3, y3, z3 = add_z2_1_fused(tx, ty, tx.const_like(1), ex, ey)
-        for k in range(d):
-            accx_ref[k] = x3.digs[k]
-            accy_ref[k] = y3.digs[k]
-            accz_ref[k] = z3.digs[k]
+    def gather(u):
+        # In-kernel one-hot x table gather on the MXU: the (NENT, tile)
+        # one-hot lives only in VMEM (the host-side XLA formulation
+        # materializes ~0.5 GB of one-hot + entry HBM traffic per 16k batch,
+        # ~35% of runtime). Exact: one product per output, table values
+        # < 2^16 < f32's 24-bit mantissa, HIGHEST precision on the MXU.
+        idx = idx_ref[0, u].reshape(1, s * lanes)
+        oh = (lax.broadcasted_iota(jnp.int32, (NENT, s * lanes), 0) == idx).astype(jnp.float32)
+        ent = lax.dot_general(
+            tbl_ref[u], oh, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).reshape(2 * d, s, lanes)
+        return (
+            VGFp([ent[k] for k in range(d)], fs),
+            VGFp([ent[d + k] for k in range(d)], fs),
+        )
 
-    @pl.when(j > 0)
-    def _step():
-        x1 = VGFp([accx_ref[k] for k in range(d)], fs)
-        y1 = VGFp([accy_ref[k] for k in range(d)], fs)
-        z1 = VGFp([accz_ref[k] for k in range(d)], fs)
+    x1 = VGFp([accx_ref[k] for k in range(d)], fs)
+    y1 = VGFp([accy_ref[k] for k in range(d)], fs)
+    z1 = VGFp([accz_ref[k] for k in range(d)], fs)
+    for u in range(unroll):
+        ex, ey = gather(u)
         x3, y3, z3 = add_z2_1_fused(x1, y1, z1, ex, ey)
-        for k in range(d):
-            accx_ref[k] = x3.digs[k]
-            accy_ref[k] = y3.digs[k]
-            accz_ref[k] = z3.digs[k]
+        if u == 0:
+            first = j == 0
+            x1 = ex.select(first, x3)
+            y1 = ey.select(first, y3)
+            z1 = z3.const_like(1).select(first, z3)
+        else:
+            x1, y1, z1 = x3, y3, z3
+    for k in range(d):
+        accx_ref[k] = x1.digs[k]
+        accy_ref[k] = y1.digs[k]
+        accz_ref[k] = z1.digs[k]
 
-    @pl.when(j == npos - 1)
+    @pl.when(j == npos // unroll - 1)
     def _finish():
-        x1 = VGFp([accx_ref[k] for k in range(d)], fs)
-        y1 = VGFp([accy_ref[k] for k in range(d)], fs)
-        z1 = VGFp([accz_ref[k] for k in range(d)], fs)
         # parity fixup: even k computed (k+1)B; subtract B (curve_group.h:214-217)
         sx, sy, sz = add_z2_1_fused(
             x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1])
         )
         meven = 1 - par_ref[0]
-        x1 = sx.select(meven, x1)
-        y1 = sy.select(meven, y1)
-        z1 = sz.select(meven, z1)
+        xo = sx.select(meven, x1)
+        yo = sy.select(meven, y1)
+        zo = sz.select(meven, z1)
         for k in range(d):
-            ax_ref[0, k] = x1.digs[k]
-            ay_ref[0, k] = y1.digs[k]
-            z_ref[0, k] = z1.digs[k]
+            ax_ref[0, k] = xo.digs[k]
+            ay_ref[0, k] = yo.digs[k]
+            z_ref[0, k] = zo.digs[k]
+
+
+def _comb_kernel_tree(
+    par_ref, idx_ref, tbl_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec, npos: int, negbase
+):
+    """Pairwise-tree comb: one grid step per batch block; the npos gathered
+    entries are summed by a balanced binary tree BATCHED over a leading
+    point axis — level 1 is one affine+affine add on (npos/2, S, L) digit
+    arrays, then log2(npos)-1 general Jacobian adds on halving axes.
+
+    Vs the serial chain: ~same total vreg-ops (aff-aff adds are cheaper than
+    the mixed adds they replace, general adds dearer), but every level is a
+    single wide op stream — the serial formulation is latency-bound (its
+    measured per-step cost is ~2.4x the issue-limited time; the batched
+    levels amortize op latencies across the point axis) and pays per-step
+    grid overhead 32x. Trace is ~6 formula instantiations, so Mosaic
+    compiles this in minutes where a 4x-unrolled serial body takes >25.
+
+    Scalar-domain caveat (documented, measure-zero for random k): the tree
+    adds PARTIAL SUBSET SUMS of the comb terms, so the degenerate class is
+    scalars where some subset pair collides (equal or opposite x), a
+    superset of the serial chain's prefix-sum class; the bench verifies 512
+    lanes against the oracle every run."""
+    fs = curve.field
+    d = fs.ndigits
+    s, lanes = idx_ref.shape[2], idx_ref.shape[3]
+
+    ents = []
+    for p_ in range(npos):
+        idx = idx_ref[0, p_].reshape(1, s * lanes)
+        oh = (lax.broadcasted_iota(jnp.int32, (NENT, s * lanes), 0) == idx).astype(jnp.float32)
+        ents.append(
+            lax.dot_general(
+                tbl_ref[p_], oh, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+            ).astype(jnp.int32).reshape(2 * d, s, lanes)
+        )
+    exd = [jnp.stack([ents[p_][k] for p_ in range(npos)]) for k in range(d)]
+    eyd = [jnp.stack([ents[p_][d + k] for p_ in range(npos)]) for k in range(d)]
+
+    xo, yo, zo = _tree_core(exd, eyd, par_ref[0], curve, negbase)
+    for k in range(d):
+        ax_ref[0, k] = xo.digs[k]
+        ay_ref[0, k] = yo.digs[k]
+        z_ref[0, k] = zo.digs[k]
+
+
+def _tree_core(exd, eyd, par, curve: CurveSpec, negbase):
+    """Balanced pairwise-tree sum of gathered comb entries + parity fixup.
+
+    exd/eyd: per-digit arrays with a leading point axis (npos, *batch) —
+    affine entries. Shared by the Pallas kernel (VMEM-gathered entries) and
+    the eager CPU twin (comb_tree_host_planes). Returns squeezed VGFp."""
+    fs = curve.field
+    npos = exd[0].shape[0]
+    assert npos % 2 == 0
+    half = npos // 2
+    x, y, z = coz_aff_add(
+        VGFp([v[:half] for v in exd], fs), VGFp([v[:half] for v in eyd], fs),
+        VGFp([v[half:] for v in exd], fs), VGFp([v[half:] for v in eyd], fs),
+    )
+    while x.digs[0].shape[0] > 1:
+        n = x.digs[0].shape[0]
+        h = n // 2
+        x3, y3, z3 = _jac_add(
+            VGFp([v[:h] for v in x.digs], fs), VGFp([v[:h] for v in y.digs], fs),
+            VGFp([v[:h] for v in z.digs], fs), VGFp([v[h:2 * h] for v in x.digs], fs),
+            VGFp([v[h:2 * h] for v in y.digs], fs), VGFp([v[h:2 * h] for v in z.digs], fs),
+        )
+        if n % 2:
+            x3 = VGFp([jnp.concatenate([a, b[2 * h:]]) for a, b in zip(x3.digs, x.digs)], fs)
+            y3 = VGFp([jnp.concatenate([a, b[2 * h:]]) for a, b in zip(y3.digs, y.digs)], fs)
+            z3 = VGFp([jnp.concatenate([a, b[2 * h:]]) for a, b in zip(z3.digs, z.digs)], fs)
+        x, y, z = x3, y3, z3
+
+    x1 = VGFp([v[0] for v in x.digs], fs)
+    y1 = VGFp([v[0] for v in y.digs], fs)
+    z1 = VGFp([v[0] for v in z.digs], fs)
+
+    # parity fixup: even k computed (k+1)B; subtract B (curve_group.h:214-217)
+    sx, sy, sz = add_z2_1_fused(
+        x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1])
+    )
+    meven = 1 - par
+    return sx.select(meven, x1), sy.select(meven, y1), sz.select(meven, z1)
+
+
+def comb_tree_host_planes(scalars, tables_f32, curve: CurveSpec, negbase):
+    """Eager (unjitted) twin of the tree kernel on (D, B) planes: the SAME
+    _tree_core on gather_entries output, dispatched op-by-op — XLA:CPU
+    cannot compile this program shape in reasonable time (stacked gathers
+    feeding deep fused chains), while eager dispatch runs it in seconds.
+    Correctness coverage for the tree chain without TPU hardware."""
+    fs = curve.field
+    d = fs.ndigits
+    ent = gather_entries(tables_f32, entry_indices(scalars, curve))  # (npos,B,2d)
+    exd = [ent[:, :, k] for k in range(d)]  # (npos, B) digit arrays
+    eyd = [ent[:, :, d + k] for k in range(d)]
+    xo, yo, zo = _tree_core(exd, eyd, scalars[0] & 1, curve, negbase)
+    return jnp.stack(xo.digs), jnp.stack(yo.digs), jnp.stack(zo.digs)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("curve", "top", "negbase", "tile", "interpret")
+    jax.jit, static_argnames=("curve", "negbase", "tile", "interpret", "unroll", "chain")
 )
 def comb_mont_planes(
-    scalars, tables_f32, curve: CurveSpec, top, negbase,
-    tile: int = DEFAULT_TILE, interpret: bool = False,
+    scalars, tables_f32, curve: CurveSpec, negbase,
+    tile: int = DEFAULT_TILE, interpret: bool = False, unroll: int = 1,
+    chain: str = "serial",
 ):
     """Fixed-base comb scalar mult on digit planes.
 
     scalars: (D, B) classical digit planes; tables_f32: (npos, 256, 2D) f32
-    internal-domain tables from base_tables; top/negbase: classical affine int
-    pairs (static). Returns Jacobian (ax, ay, z) internal-domain planes.
+    internal-domain tables from base_tables (top folded into position 0);
+    negbase: classical affine int pair (static). Returns Jacobian (ax, ay, z)
+    internal-domain planes. chain="serial" accumulates positions one mixed
+    add at a time (grid axis, unroll positions per step); chain="tree" sums
+    them by a batched pairwise tree in one grid step per block (see
+    _comb_kernel_tree for the latency/domain trade).
     """
     fs = curve.field
     assert fs.reduction == "solinas", "comb kernel requires a Solinas field"
@@ -237,6 +374,7 @@ def comb_mont_planes(
     b = scalars.shape[1]
     assert scalars.shape == (d, b)
     assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
+    assert npos % unroll == 0, f"npos {npos} not a multiple of unroll {unroll}"
     lanes = min(LANES, tile)
     s = tile // lanes
     assert s * lanes == tile, f"tile {tile} not a multiple of {lanes}"
@@ -251,16 +389,40 @@ def comb_mont_planes(
     # (2d, NENT) matmul operand
     tbl_t = tables_f32.transpose(0, 2, 1)
 
-    spec_par = pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    spec_idx = pl.BlockSpec((1, 1, s, lanes), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-    spec_tbl = pl.BlockSpec((1, 2 * d, NENT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((1, d, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nblk, d, s, lanes), jnp.int32)
-    scratch = [pltpu.VMEM((d, s, lanes), jnp.int32) for _ in range(3)]
+    if chain == "tree":
+        spec_par = pl.BlockSpec((1, s, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        spec_idx = pl.BlockSpec(
+            (1, npos, s, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        spec_tbl = pl.BlockSpec(
+            (npos, 2 * d, NENT), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        spec_out = pl.BlockSpec((1, d, s, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ax, ay, z = pl.pallas_call(
+            functools.partial(_comb_kernel_tree, curve=curve, npos=npos, negbase=negbase),
+            grid=(nblk,),
+            in_specs=[spec_par, spec_idx, spec_tbl],
+            out_specs=(spec_out, spec_out, spec_out),
+            out_shape=(out_shape, out_shape, out_shape),
+            interpret=interpret,
+        )(par_blocks, idx_blocks, tbl_t)
+        def from_blocks(a):
+            return a.transpose(1, 0, 2, 3).reshape(d, b)
+        return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
+    spec_par = pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec_idx = pl.BlockSpec(
+        (1, unroll, s, lanes), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_tbl = pl.BlockSpec((unroll, 2 * d, NENT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, d, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((d, s, lanes), jnp.int32) for _ in range(3)]
     ax, ay, z = pl.pallas_call(
-        functools.partial(_comb_kernel, curve=curve, npos=npos, top=top, negbase=negbase),
-        grid=(nblk, npos),
+        functools.partial(
+            _comb_kernel, curve=curve, npos=npos, negbase=negbase, unroll=unroll
+        ),
+        grid=(nblk, npos // unroll),
         in_specs=[spec_par, spec_idx, spec_tbl],
         out_specs=(spec_out, spec_out, spec_out),
         out_shape=(out_shape, out_shape, out_shape),
@@ -274,8 +436,8 @@ def comb_mont_planes(
     return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
 
-@functools.partial(jax.jit, static_argnames=("curve", "top", "negbase"))
-def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, top, negbase):
+@functools.partial(jax.jit, static_argnames=("curve", "negbase"))
+def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, negbase):
     """XLA-path twin of comb_mont_planes (CPU-testable; the comparison axis
     of benchs/ops_cbn.cpp recast: same algorithm, portable formulation)."""
     from ecsimd_tpu.curves import group
@@ -287,8 +449,9 @@ def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, top, negbase):
     ent = ent.transpose(0, 2, 1)  # (npos, 2d, B) digit planes per position
 
     like = scalars
-    accx = GFp.constant(top[0], fs, like)
-    accy = GFp.constant(top[1], fs, like)
+    # acc seeds from the position-0 entry (top digit folded into the table)
+    accx = GFp.from_mont(ent[0, :d], fs)
+    accy = GFp.from_mont(ent[0, d:], fs)
     accz = GFp.one(fs, like)
 
     def body(i, acc):
@@ -300,7 +463,7 @@ def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, top, negbase):
         )
         return x3.planes, y3.planes, z3.planes
 
-    planes = lax.fori_loop(0, npos, body, (accx.planes, accy.planes, accz.planes))
+    planes = lax.fori_loop(1, npos, body, (accx.planes, accy.planes, accz.planes))
     accx, accy, accz = (GFp.from_mont(p_, fs) for p_ in planes)
 
     sx, sy, sz = group.add_z2_1(
@@ -317,6 +480,7 @@ def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, top, negbase):
 def scalar_mult_base(
     scalars, curve: CurveSpec, base: tuple[int, int] | None = None,
     tile: int = DEFAULT_TILE, use_kernel: bool = True, interpret: bool = False,
+    unroll: int = 1, chain: str = "serial",
 ):
     """k_i * B for a shared base point B (default: the curve generator).
 
@@ -328,15 +492,21 @@ def scalar_mult_base(
 
     fs = curve.field
     bx, by = base if base is not None else (curve.gx, curve.gy)
-    tables, top, negbase = base_tables(curve, int(bx), int(by))
+    tables, negbase = base_tables(curve, int(bx), int(by))
     tables_f32 = jnp.asarray(tables.astype(np.float32))
 
     if use_kernel:
         sc, b_true = parallel.pad_batch(scalars, tile)
-        ax, ay, z = comb_mont_planes(
-            sc, tables_f32, curve, tuple(top), tuple(negbase), tile=tile, interpret=interpret
+        # interpret mode runs unjitted: eager dispatch sidesteps XLA:CPU's
+        # pathological compile/execute on this program shape (stacks and
+        # concats over deep fused chains); the TPU path stays jitted.
+        fn = comb_mont_planes.__wrapped__ if interpret else comb_mont_planes
+        ax, ay, z = fn(
+            sc, tables_f32, curve, tuple(negbase), tile=tile, interpret=interpret,
+            unroll=unroll, chain=chain,
         )
         ax, ay, z = ax[:, :b_true], ay[:, :b_true], z[:, :b_true]
     else:
-        ax, ay, z = comb_xla_planes(scalars, tables_f32, curve, tuple(top), tuple(negbase))
+        twin = comb_tree_host_planes if chain == "tree" else comb_xla_planes
+        ax, ay, z = twin(scalars, tables_f32, curve, tuple(negbase))
     return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)

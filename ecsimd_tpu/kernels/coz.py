@@ -75,6 +75,23 @@ def add_z2_1_fused(x1, y1, z1, x2, y2):
     return x3, y3, z3
 
 
+def aff_add_fused(x1, y1, x2, y2):
+    """Affine + affine -> Jacobian (z1 = z2 = 1 mixed add, 4M+2S):
+    H = x2-x1, r = y2-y1, X3 = r^2 - H^3 - 2 x1 H^2,
+    Y3 = r (x1 H^2 - X3) - y1 H^3, Z3 = H. Each output one fused reduction.
+    Degenerate when x1 == x2 (H = 0). No reference counterpart (the comb
+    tree's first level; the reference has no fixed-base path)."""
+    fs = x1.fs
+    h = x2 - x1
+    r = y2 - y1
+    hh = h.sqr()
+    hhh = h * hh
+    v = x1 * hh
+    x3 = _C(fs, (_gs(r), 1), (hhh.digs, -1), (v.digs, -2))
+    y3 = _C(fs, (_gm(r, v - x3), 1), (_gm(y1, hhh), -1))
+    return x3, y3, h
+
+
 def jac_dbl(x1, y1, z1, curve: CurveSpec):
     """dbl-2001-b for a = -3 (3M+5S), the 3x/4x/8x factors fused into the
     Solinas reduction; each output is one fused reduction."""

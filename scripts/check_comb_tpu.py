@@ -45,10 +45,10 @@ def main():
     ks[:4] = [1, 2, 5, P256.order - 2]
     scalars = jnp.asarray(convert.ints_to_planes(ks, d))
 
-    tables, top, negbase = comb.base_tables(P256, P256.gx, P256.gy)
+    tables, negbase = comb.base_tables(P256, P256.gx, P256.gy)
     tables_f32 = jnp.asarray(tables.astype(np.float32))
     fn = jax.jit(
-        lambda s: comb.comb_mont_planes(s, tables_f32, P256, tuple(top), tuple(negbase), tile=tile)
+        lambda s: comb.comb_mont_planes(s, tables_f32, P256, tuple(negbase), tile=tile)
     )
 
     t0 = time.perf_counter()

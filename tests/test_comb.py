@@ -53,11 +53,12 @@ def _naive_mult(k, curve):
 
 
 def test_base_tables(rng):
-    """Entry e of position i holds affine (2e - 255) * 2^(8i) * G; top holds
-    2^nbits * G (classical-domain check vs a naive double-and-add oracle)."""
+    """Entry e of position i >= 1 holds affine (2e - 255) * 2^(8i) * G;
+    position 0 folds in the top digit: (2^nbits + 2e - 255) * G
+    (classical-domain check vs a naive double-and-add oracle)."""
     curve = TOY64
     fs = curve.field
-    tables, top, negbase = comb.base_tables(curve, curve.gx, curve.gy)
+    tables, negbase = comb.base_tables(curve, curve.gx, curve.gy)
     npos = fs.nbits // comb.W
     assert tables.shape == (npos, comb.NENT, 2 * fs.ndigits)
     for i, e in [(0, 0), (0, comb.NENT - 1), (1, 17), (npos - 1, rng.randrange(comb.NENT))]:
@@ -66,11 +67,13 @@ def test_base_tables(rng):
         d = fs.ndigits
         gx = sum(int(v) << (16 * j) for j, v in enumerate(row[:d]))
         gy = sum(int(v) << (16 * j) for j, v in enumerate(row[d:]))
-        ex, ey = _naive_mult(abs(dgt) << (comb.W * i), curve)
-        if dgt < 0:
-            ey = (fs.p - ey) % fs.p
+        if i == 0:
+            ex, ey = _naive_mult((1 << fs.nbits) + dgt, curve)
+        else:
+            ex, ey = _naive_mult(abs(dgt) << (comb.W * i), curve)
+            if dgt < 0:
+                ey = (fs.p - ey) % fs.p
         assert (gx, gy) == (ex, ey), (i, e, dgt)
-    assert top == _naive_mult(1 << fs.nbits, curve)
     assert negbase == (curve.gx, (fs.p - curve.gy) % fs.p)
 
 
@@ -78,9 +81,15 @@ def _check(curve, ks, **kw):
     d = curve.field.ndigits
     scalars = jnp.asarray(convert.ints_to_planes(ks, d))
     pt = comb.scalar_mult_base(scalars, curve, **kw)
-    aff = pt.to_affine()
-    got = list(zip(convert.planes_to_ints(np.asarray(aff.x)),
-                   convert.planes_to_ints(np.asarray(aff.y))))
+    # affine conversion host-side with Python ints (Solinas: internal ==
+    # classical); keeps the test off slow eager/XLA:CPU inversion chains
+    p = curve.field.p
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(pt.x.planes)),
+                       convert.planes_to_ints(np.asarray(pt.y.planes)),
+                       convert.planes_to_ints(np.asarray(pt.z.planes))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
     want = [coz.scalar_mult_affine(k, curve.gx, curve.gy, curve) for k in ks]
     assert got == want
 
@@ -99,7 +108,28 @@ def test_comb_xla_p256(rng):
 
 def test_comb_kernel_toy_interpret(rng):
     """End-to-end Pallas comb kernel in interpret mode, per-lane-distinct
-    scalars, both parities (the even-k fixup path is lane-divergent)."""
+    scalars, both parities (the even-k fixup path is lane-divergent).
+
+    unroll=2 covers both the select-seeded (u == 0) and plain-chain (u > 0)
+    add paths while keeping the jitted interpret program inside what XLA:CPU
+    executes in reasonable time (larger unrolls hit its deep-fused-chain
+    cliff; the TPU default is unroll=4, same trace repeated)."""
     ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
     ks = ks * 16  # tile = 128 lanes
-    _check(TOY64, ks, tile=128, use_kernel=True, interpret=True)
+    _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, unroll=2)
+
+
+def test_comb_tree_toy(rng):
+    """Pairwise-tree comb chain (batched aff-aff level + jac_add levels +
+    fixup) through the eager host twin (_tree_core — the same code the
+    Pallas tree kernel traces; XLA:CPU cannot compile this program shape,
+    and pallas interpret mode jits it, so the CPU check runs eagerly)."""
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
+    ks = ks * 16
+    _check(TOY64, ks, use_kernel=False, chain="tree")
+
+
+def test_comb_tree_p256(rng):
+    """Tree chain on real P-256 through the eager host twin."""
+    ks = [1, 2, P256.order - 2, 5] + [rng.randrange(1, P256.order) for _ in range(4)]
+    _check(P256, ks, use_kernel=False, chain="tree")
