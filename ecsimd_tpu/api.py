@@ -61,6 +61,29 @@ def scalar_mult_shared(k: int, points: AffinePoint) -> AffinePoint:
     return AffinePoint(x, y, points.curve)
 
 
+def scalar_mult_shared_fast(k: int, points: AffinePoint, tile: int | None = None) -> AffinePoint:
+    """Shared-scalar fast path: k broadcast through the fused window Pallas
+    kernel (~1.5x the masked ladder that scalar_mult_shared compiles).
+
+    Why no dedicated shared-scalar kernel exists: the reference's
+    scalar_mult_1s (curve_group.h:221-251) wins on AVX2 by dropping per-lane
+    masks, but on TPU the per-lane masked table gather costs ~450 of the
+    ~76,600 vreg-ops in a window step (<1%), so a uniform-control-flow
+    shared-scalar kernel has no headroom over the per-lane kernel — measured
+    analysis in bench/roofline.py. The shared structure that IS worth a
+    dedicated kernel on TPU is a shared *base* (kernels/comb.py, ~4x).
+    For a public scalar reused across many batches, trace-time
+    specialization (zero gathers, wNAF skipping) would save ~15% more at the
+    cost of a per-scalar Mosaic compile — the wrong trade below ~10^9 points.
+
+    Same (measure-zero) degenerate-scalar caveat as scalar_mult_fast; one
+    compiled kernel serves every k (the broadcast happens in plane data).
+    """
+    batch = int(np.prod(points.x.shape[1:], initial=1))
+    scalars = jnp.asarray(convert.broadcast_int(int(k), points.curve.field.ndigits, batch))
+    return scalar_mult_fast(scalars.reshape(points.x.shape), points, tile=tile)
+
+
 def scalar_mult_p256(scalars, points: AffinePoint) -> AffinePoint:
     """The reference's exported symbol (lib/scalar_mult_p256.cpp:10-12)."""
     assert points.curve is P256 or points.curve.name == P256.name
