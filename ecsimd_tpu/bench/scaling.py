@@ -8,6 +8,7 @@ environment; a pod slice in production after
 ``parallel.initialize_distributed()``).
 
 Usage: python -m ecsimd_tpu.bench.scaling [--batch-per-chip N] [--iters N]
+       [--algo comb|ladder] [--tile N]
 """
 
 from __future__ import annotations
@@ -19,7 +20,8 @@ import time
 import numpy as np
 
 
-def run(batch_per_chip: int = 16384, iters: int = 8, tile: int = 2048):
+def run(batch_per_chip: int = 16384, iters: int = 8, tile: int = 2048,
+        algo: str = "comb"):
     import jax
     import jax.numpy as jnp
 
@@ -37,20 +39,27 @@ def run(batch_per_chip: int = 16384, iters: int = 8, tile: int = 2048):
         rng = np.random.default_rng(0xEC51)
         ks = [int.from_bytes(rng.bytes(32), "little") % P256.order or 1 for _ in range(b)]
         scalars = parallel.shard_planes(jnp.asarray(convert.ints_to_planes(ks, d)), mesh)
-        g = api.generator_batch(P256, b)
-        jg = JacobianPoint.from_affine(g)
+        if algo == "comb":
+            def step(s):
+                return parallel.scalar_mult_base_sharded(s, P256, mesh, tile=tile)
+        else:
+            g = api.generator_batch(P256, b)
+            jg = JacobianPoint.from_affine(g)
 
-        res = parallel.scalar_mult_sharded(scalars, jg, mesh, use_kernel=True, tile=tile)
-        np.asarray(res.x.planes)  # sync
+            def step(s):
+                return parallel.scalar_mult_sharded(s, jg, mesh, use_kernel=True, tile=tile)
+
+        res = step(scalars)
+        np.asarray(res.x.planes)  # sync (also compiles + caches the closure)
         t0 = time.perf_counter()
         s = scalars
         for _ in range(iters):
-            res = parallel.scalar_mult_sharded(s, jg, mesh, use_kernel=True, tile=tile)
+            res = step(s)
             s = res.x.planes
         np.asarray(res.x.planes)
         dt = time.perf_counter() - t0
         rate = b * iters / dt
-        results.append({"devices": n, "mults_per_sec": round(rate, 1),
+        results.append({"devices": n, "algo": algo, "mults_per_sec": round(rate, 1),
                         "per_chip": round(rate / n, 1)})
         n *= 2
 
@@ -66,5 +75,6 @@ if __name__ == "__main__":
     ap.add_argument("--batch-per-chip", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--tile", type=int, default=2048)
+    ap.add_argument("--algo", choices=["comb", "ladder"], default="comb")
     args = ap.parse_args()
-    run(args.batch_per_chip, args.iters, args.tile)
+    run(args.batch_per_chip, args.iters, args.tile, args.algo)

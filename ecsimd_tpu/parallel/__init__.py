@@ -170,6 +170,31 @@ def scalar_mult_sharded(
     ``n_devices * tile`` (kernel path) or ``n_devices`` (XLA path) and sliced
     back, so any batch size works.
     """
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.field import GFp
+    from ecsimd_tpu.kernels import ladder as _ladder
+
+    curve = pt.curve
+    fs = curve.field
+    n_dev = mesh.devices.size
+    t = _ladder.DEFAULT_TILE if tile is None else tile
+    multiple = n_dev * t if use_kernel else n_dev
+    scalars, b_true = pad_batch(scalars, multiple)
+    xm_in, _ = pad_batch(pt.x.planes, multiple)
+    ym_in, _ = pad_batch(pt.y.planes, multiple)
+
+    fn = _sharded_ladder_fn(mesh, curve, axis_name, use_kernel, t, interpret)
+    ax, ay, z = fn(scalars, xm_in, ym_in)
+    ax, ay, z = ax[:, :b_true], ay[:, :b_true], z[:, :b_true]
+    return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_ladder_fn(mesh: Mesh, curve, axis_name: str, use_kernel: bool, tile: int,
+                       interpret: bool):
+    """Compiled shard_map closure per (mesh, curve, path, tile) — cached so
+    repeated calls (bench loops) reuse one executable instead of re-jitting
+    a fresh closure every call."""
     from jax import shard_map
 
     from ecsimd_tpu.curves import group as _group
@@ -177,27 +202,20 @@ def scalar_mult_sharded(
     from ecsimd_tpu.field import GFp
     from ecsimd_tpu.kernels import ladder as _ladder
 
-    curve = pt.curve
     fs = curve.field
     spec = P(None, axis_name)
-    n_dev = mesh.devices.size
-    multiple = n_dev * (_ladder.DEFAULT_TILE if tile is None else tile) if use_kernel else n_dev
-    scalars, b_true = pad_batch(scalars, multiple)
-    xm_in, _ = pad_batch(pt.x.planes, multiple)
-    ym_in, _ = pad_batch(pt.y.planes, multiple)
 
     if use_kernel:
-        t = _ladder.DEFAULT_TILE if tile is None else tile
 
         def per_shard(s, xm, ym):
-            return _ladder.ladder_mont_planes(s, xm, ym, curve, tile=t, interpret=interpret)
+            return _ladder.ladder_mont_planes(s, xm, ym, curve, tile=tile, interpret=interpret)
 
     else:
 
         def per_shard(s, xm, ym):
-            p = JacobianPoint(GFp.from_mont(xm, fs), GFp.from_mont(ym, fs),
-                              GFp.one(fs, xm), curve)
-            r = _group.scalar_mult(s, p)
+            p_ = JacobianPoint(GFp.from_mont(xm, fs), GFp.from_mont(ym, fs),
+                               GFp.one(fs, xm), curve)
+            r = _group.scalar_mult(s, p_)
             return r.x.planes, r.y.planes, r.z.planes
 
     # check_vma=False: pallas_call outputs carry no varying-mesh-axis info
@@ -208,6 +226,74 @@ def scalar_mult_sharded(
         out_specs=(spec, spec, spec),
         check_vma=False,
     )
-    ax, ay, z = jax.jit(f)(scalars, xm_in, ym_in)
+    return jax.jit(f)
+
+
+def scalar_mult_base_sharded(
+    scalars,
+    curve,
+    mesh: Mesh,
+    base: tuple[int, int] | None = None,
+    axis_name: str = BATCH_AXIS,
+    use_kernel: bool = True,
+    tile: int | None = None,
+    interpret: bool = False,
+    unroll: int = 1,
+    chain: str = "serial",
+):
+    """Mesh-sharded fixed-base comb: k_i * B with the base shared by every
+    lane (the headline workload at pod scale). Scalars shard over the batch
+    axis; the host-built tables replicate to every device (1 MB — broadcast
+    once, reused across calls via the compiled-closure cache). Zero
+    collectives, as for the ladder. use_kernel=False runs the serial XLA
+    twin per shard (the eager tree twin is CPU-test-only)."""
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.field import GFp
+    from ecsimd_tpu.kernels import comb as _comb
+
+    fs = curve.field
+    bx, by = base if base is not None else (curve.gx, curve.gy)
+    tables, negbase = _comb.base_tables(curve, int(bx), int(by))
+    tables_f32 = jnp.asarray(np.asarray(tables, np.float32))
+    t = _comb.DEFAULT_TILE if tile is None else tile
+    multiple = mesh.devices.size * (t if use_kernel else 1)
+    sc, b_true = pad_batch(scalars, multiple)
+    fn = _sharded_comb_fn(
+        mesh, curve, axis_name, use_kernel, t, interpret, unroll, chain, tuple(negbase)
+    )
+    ax, ay, z = fn(sc, tables_f32)
     ax, ay, z = ax[:, :b_true], ay[:, :b_true], z[:, :b_true]
     return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_comb_fn(mesh: Mesh, curve, axis_name: str, use_kernel: bool, tile: int,
+                     interpret: bool, unroll: int, chain: str, negbase):
+    from jax import shard_map
+
+    from ecsimd_tpu.kernels import comb as _comb
+
+    spec = P(None, axis_name)
+    spec_tbl = P(None, None, None)  # replicated tables
+
+    if use_kernel:
+
+        def per_shard(s, tbl):
+            return _comb.comb_mont_planes(
+                s, tbl, curve, negbase, tile=tile, interpret=interpret,
+                unroll=unroll, chain=chain,
+            )
+
+    else:
+
+        def per_shard(s, tbl):
+            return _comb.comb_xla_planes(s, tbl, curve, negbase)
+
+    f = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(spec, spec_tbl),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return jax.jit(f)

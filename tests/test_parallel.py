@@ -128,3 +128,35 @@ def test_gather_planes(mesh):
     sharded = parallel.shard_planes(planes, mesh)
     gathered = parallel.gather_planes(sharded)
     assert convert.planes_to_ints(gathered) == list(range(1, 17))
+
+
+def test_comb_sharded_xla_toy(mesh, rng):
+    """Mesh-sharded fixed-base comb (scalar_mult_base_sharded) via the XLA
+    twin per shard, toy curve, unpadded batch, bit-exact vs the oracle."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.oracle import coz
+    from tests.toy import TOY64
+
+    d = TOY64.field.ndigits
+    ks = [1, 2, 5, 6, 255, 256] + [rng.randrange(1, TOY64.order) for _ in range(7)]
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    res = parallel.scalar_mult_base_sharded(scalars, TOY64, mesh, use_kernel=False)
+    p = TOY64.field.p
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(res.x.planes)),
+                       convert.planes_to_ints(np.asarray(res.y.planes)),
+                       convert.planes_to_ints(np.asarray(res.z.planes))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    assert got == [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
+
+
+def test_sharded_fn_cache(mesh):
+    """Repeated sharded calls reuse one compiled closure (no re-jit per call
+    — the scaling bench's hot loop)."""
+    from ecsimd_tpu.specs import P256
+
+    f1 = parallel._sharded_ladder_fn(mesh, P256, parallel.BATCH_AXIS, False, 2048, False)
+    f2 = parallel._sharded_ladder_fn(mesh, P256, parallel.BATCH_AXIS, False, 2048, False)
+    assert f1 is f2
