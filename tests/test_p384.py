@@ -46,3 +46,24 @@ def test_p384_scalar_mult(rng):
     got = api.scalar_mult(api.scalars_from_ints(ks, P384), g)
     want = [coz.scalar_mult_affine(k, P384.gx, P384.gy, P384) for k in ks]
     assert list(zip(convert.planes_to_ints(got.x), convert.planes_to_ints(got.y))) == want
+
+
+def test_p384_comb_tree(rng):
+    """Fixed-base comb on P-384 through the eager tree twin — npos = 48
+    exercises the odd-level carry path of the pairwise tree (24 -> 12 -> 6
+    -> 3 -> 2 -> 1)."""
+    import numpy as np
+
+    from ecsimd_tpu.kernels import comb
+
+    ks = [1, 2, 5, 256] + [rng.randrange(1, P384.order) for _ in range(3)]
+    scalars = api.scalars_from_ints(ks, P384)
+    pt = comb.scalar_mult_base(scalars, P384, use_kernel=False, chain="tree")
+    p = P384.field.p
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(pt.x.planes)),
+                       convert.planes_to_ints(np.asarray(pt.y.planes)),
+                       convert.planes_to_ints(np.asarray(pt.z.planes))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    assert got == [coz.scalar_mult_affine(k, P384.gx, P384.gy, P384) for k in ks]
