@@ -27,7 +27,8 @@ north-star of >= 10M mults/sec on a v5e-8, i.e. 1.25M/sec/chip.
 
 Env knobs: BENCH_BATCH (16384), BENCH_ITERS (24), BENCH_TILE (2048),
 BENCH_ALGO (comb | window | ladder | all), BENCH_VERIFY (all | comb | ... |
-none), BENCH_VERIFY_LANES (512).
+none), BENCH_VERIFY_LANES (512), BENCH_CHAIN (serial | tree),
+BENCH_UNROLL (positions per comb grid step).
 """
 
 import json
@@ -133,10 +134,13 @@ def main():
 
     tables, negbase = comb.base_tables(P256, P256.gx, P256.gy)
     tables_f32 = jnp.asarray(tables.astype(np.float32))
+    chain = os.environ.get("BENCH_CHAIN", "serial")  # serial | tree
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     fns = {
         "comb": jax.jit(
             lambda s: comb.comb_mont_planes(
-                s, tables_f32, P256, tuple(negbase), tile=tile
+                s, tables_f32, P256, tuple(negbase), tile=tile,
+                chain=chain, unroll=unroll,
             )
         ),
         "window": jax.jit(lambda s: window.window_mont_planes(s, xm, ym, P256, tile=tile)),
