@@ -65,6 +65,24 @@ def _verify_points(n, curve):
     return out
 
 
+def _oracle_mult(k):
+    from ecsimd_tpu.oracle import coz
+    from ecsimd_tpu.specs import P256
+
+    return coz.scalar_mult_affine(k, P256.gx, P256.gy, P256)
+
+
+def _window_degenerate(k, pt):
+    from ecsimd_tpu.oracle import window as ow
+    from ecsimd_tpu.specs import P256
+
+    try:
+        ow.scalar_mult(k, (pt[0], pt[1], 1), P256)
+        return False
+    except ZeroDivisionError:
+        return True
+
+
 def main():
     import jax
 
@@ -82,8 +100,6 @@ def main():
     from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
     from ecsimd_tpu.field import GFp
     from ecsimd_tpu.kernels import comb, ladder, window
-    from ecsimd_tpu.oracle import coz
-    from ecsimd_tpu.oracle import window as ow
     from ecsimd_tpu.specs import P256
 
     ALL = ["comb", "window", "ladder"]
@@ -103,10 +119,34 @@ def main():
     rng = np.random.default_rng(0xEC51)
     ks = [int.from_bytes(rng.bytes(32), "little") % order or 1 for _ in range(batch)]
     ks[:4] = [1, 2, 5, order - 2]  # edge scalars inside the verified lanes
-    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
 
     # lanes < nver carry distinct points (i+1)*G; the rest broadcast G
     pts = _verify_points(nver, P256)
+
+    # expected values: k_i * (i+1) * G == oracle(k_i * (i+1) mod order).
+    # Python-int oracle work dominates bench wall time at nver=512 — fan it
+    # out over the host cores. Fork BEFORE the first device touch below: the
+    # workers are pure-Python-int, and forking after the TPU backend/tunnel
+    # threads exist risks children poking shared connection state at exit.
+    import multiprocessing as mp
+
+    want_varbase, want_fixbase, window_skip = [], [], set()
+    if verified:
+        with mp.Pool(min(4, mp.cpu_count())) as pool:
+            want_varbase = pool.starmap(
+                _oracle_mult, [(k * (i + 1) % order,) for i, k in enumerate(ks[:nver])]
+            )
+            want_fixbase = pool.starmap(_oracle_mult, [(k,) for k in ks[:nver]])
+            # the window method has a documented measure-zero degenerate scalar
+            # class (kernels/window.py; e.g. k = order - 2); the window oracle
+            # defines that domain — lanes where it degenerates are excluded from
+            # window verification only (ladder/comb still verify them).
+            degen = pool.starmap(
+                _window_degenerate, [(k, pts[i]) for i, k in enumerate(ks[:nver])]
+            )
+        window_skip = {i for i, dg in enumerate(degen) if dg}
+
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
     xs_np = np.asarray(convert.ints_to_planes([x for x, _ in pts], d))
     ys_np = np.asarray(convert.ints_to_planes([y for _, y in pts], d))
     xs = np.repeat(np.asarray(convert.ints_to_planes([P256.gx], d)), batch, axis=1)
@@ -114,23 +154,6 @@ def main():
     xs[:, :nver], ys[:, :nver] = xs_np, ys_np
     pt = JacobianPoint.from_affine(AffinePoint(jnp.asarray(xs), jnp.asarray(ys), P256))
     xm, ym = pt.x.planes, pt.y.planes
-
-    # expected values: k_i * (i+1) * G == oracle(k_i * (i+1) mod order)
-    want_varbase = [
-        coz.scalar_mult_affine(k * (i + 1) % order, P256.gx, P256.gy, P256)  # never 0: order prime, k != 0
-        for i, k in enumerate(ks[:nver])
-    ]
-    want_fixbase = [coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks[:nver]]
-    # the window method has a documented measure-zero degenerate scalar class
-    # (kernels/window.py; e.g. k = order - 2); the window oracle defines that
-    # domain — lanes where it degenerates are excluded from window verification
-    # only (ladder/comb still verify them).
-    window_skip = set()
-    for i, k in enumerate(ks[:nver]):
-        try:
-            ow.scalar_mult(k, (pts[i][0], pts[i][1], 1), P256)
-        except ZeroDivisionError:
-            window_skip.add(i)
 
     tables, negbase = comb.base_tables(P256, P256.gx, P256.gy)
     tables_f32 = jnp.asarray(tables.astype(np.float32))
