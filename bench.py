@@ -214,7 +214,9 @@ def main():
     try:
         ceiling = rl.measure_vpu_ceiling()
         roof = {
-            name: rl.roofline(rate, name, P256, ceiling=ceiling)["fraction_of_ceiling"]
+            name: rl.roofline(
+                rate, "comb_tree" if name == "comb" and chain == "tree" else name,
+                P256, ceiling=ceiling)["fraction_of_ceiling"]
             for name, rate in rates.items()
         }
         roof["ceiling_vreg_ops_per_sec"] = round(ceiling)

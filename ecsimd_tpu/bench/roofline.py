@@ -138,14 +138,24 @@ def kernel_op_counts(curve) -> dict:
     win_step = 4 * jdbl + jadd + gather
     window = jdbl + 7 * jadd + opp + (nbits // 4) * win_step + addz21 + sel3
 
-    # comb (w=8 fixed base): npos mixed adds + fixup (the MXU gather and the
-    # index recoding run outside the VPU kernel)
-    comb = (nbits // 8) * addz21 + addz21 + sel3 + 2
+    # comb (w=8 fixed base), serial chain: npos mixed adds + fixup (the MXU
+    # gather and the index recoding are not VPU elementwise work)
+    npos = nbits // 8
+    comb = npos * addz21 + addz21 + sel3 + 2
+
+    # comb tree chain: one aff-aff add per pair at level 1, then general
+    # jac_adds down the halving levels (npos-even; odd levels carry one)
+    aff = c(lambda x1, y1, x2, y2: coz_k.aff_add_fused(x1, y1, x2, y2), 4)
+    n, tree_adds = npos // 2, 0
+    while n > 1:
+        tree_adds += n // 2
+        n = n // 2 + n % 2
+    comb_tree = (npos // 2) * aff + tree_adds * jadd + addz21 + sel3
 
     return {
-        "ladder": ladder, "window": window, "comb": comb,
+        "ladder": ladder, "window": window, "comb": comb, "comb_tree": comb_tree,
         "blocks": {"zdau_fused": zdau, "add_z2_1_fused": addz21,
-                   "jac_dbl": jdbl, "jac_add": jadd},
+                   "jac_dbl": jdbl, "jac_add": jadd, "aff_add_fused": aff},
     }
 
 
