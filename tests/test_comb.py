@@ -133,3 +133,32 @@ def test_comb_tree_p256(rng):
     """Tree chain on real P-256 through the eager host twin."""
     ks = [1, 2, P256.order - 2, 5] + [rng.randrange(1, P256.order) for _ in range(4)]
     _check(P256, ks, use_kernel=False, chain="tree")
+
+
+def test_aff_add_fused_vs_oracle(rng):
+    """aff_add_fused (z1 = z2 = 1 add, the tree's first level) bit-exact vs
+    the oracle's general Jacobian add, eagerly on plane digits."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.kernels.coz import aff_add_fused
+    from ecsimd_tpu.kernels.digits import VGFp
+    from ecsimd_tpu.oracle import window as ow
+
+    for curve in (TOY64, P256):
+        fs = curve.field
+        d = fs.ndigits
+        pts1, pts2 = [], []
+        for _ in range(4):
+            k1, k2 = rng.randrange(2, curve.order), rng.randrange(2, curve.order)
+            pts1.append(coz.scalar_mult_affine(k1, curve.gx, curve.gy, curve))
+            pts2.append(coz.scalar_mult_affine(k2, curve.gx, curve.gy, curve))
+        a = [jnp.asarray(convert.ints_to_planes([p[i] for p in pts1], d)) for i in range(2)]
+        b = [jnp.asarray(convert.ints_to_planes([p[i] for p in pts2], d)) for i in range(2)]
+        x3, y3, z3 = aff_add_fused(
+            VGFp([a[0][k] for k in range(d)], fs), VGFp([a[1][k] for k in range(d)], fs),
+            VGFp([b[0][k] for k in range(d)], fs), VGFp([b[1][k] for k in range(d)], fs),
+        )
+        got = [convert.planes_to_ints(np.asarray(jnp.stack(v.digs))) for v in (x3, y3, z3)]
+        for i in range(4):
+            wx, wy, wz = ow._jac_add((*pts1[i], 1), (*pts2[i], 1), curve)
+            assert (got[0][i], got[1][i], got[2][i]) == (wx, wy, wz), i
