@@ -78,6 +78,13 @@ def _to_internal(v: int, fs) -> int:
 
 
 @functools.cache
+def _device_tables(curve: CurveSpec, bx: int, by: int):
+    """base_tables as a device f32 array, uploaded once per (curve, base)."""
+    tables, negbase = base_tables(curve, bx, by)
+    return jnp.asarray(tables.astype(np.float32)), negbase
+
+
+@functools.cache
 def base_tables(curve: CurveSpec, bx: int, by: int):
     """Host-precomputed comb tables for base B = (bx, by).
 
@@ -492,8 +499,7 @@ def scalar_mult_base(
 
     fs = curve.field
     bx, by = base if base is not None else (curve.gx, curve.gy)
-    tables, negbase = base_tables(curve, int(bx), int(by))
-    tables_f32 = jnp.asarray(tables.astype(np.float32))
+    tables_f32, negbase = _device_tables(curve, int(bx), int(by))
 
     if use_kernel:
         sc, b_true = parallel.pad_batch(scalars, tile)
