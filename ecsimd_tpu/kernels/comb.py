@@ -14,19 +14,24 @@ Pipeline (all one jit):
   1. recode: width-8 signed-odd window digits d_i, odd in [-255, 255], via the
      closed form e_i = ((k >> 8i) | paired 9-bit window) >> 1 (oracle/window.py
      derivation; table entry index e <-> digit d = 2e - 255, so the |1 forcing
-     and +-sign are absorbed into the table layout — no in-kernel negation).
-  2. gather: per-lane one-hot(e) x shared table as an f32 matmul on the MXU —
-     exact because one-hot rows select a single <= 16-bit value (f32 has a
-     24-bit mantissa) — giving each lane its 2*ndigits entry planes.
-  3. add chain: a Pallas kernel with grid (batch_blocks, npos) streams the
-     pre-gathered entries through VMEM and performs one fused-reduction mixed
-     add (kernels/coz.add_z2_1_fused) per position, accumulator pinned in VMEM
-     scratch across the position axis; the parity fixup (subtract B for even
-     scalars, curve_group.h:214-217) runs masked on the last position.
+     and +-sign are absorbed into the table layout — no in-kernel negation;
+     the recoding's constant top digit is folded into the position-0 table).
+  2. gather (inside the kernel): per-lane one-hot(e) x shared table as an f32
+     matmul on the MXU — exact because one-hot rows select a single <= 16-bit
+     value (f32 has a 24-bit mantissa, HIGHEST precision) — the one-hot lives
+     only in VMEM (an XLA-side gather costs ~0.5 GB of HBM traffic per 16k
+     batch, measured ~35% of runtime).
+  3. sum: one fused-reduction mixed add (kernels/coz.add_z2_1_fused) per
+     position — chain="serial" walks positions along a grid axis with the
+     accumulator in VMEM scratch (unroll positions per step); chain="tree"
+     sums all positions with a batched balanced pairwise tree in a single
+     grid step (see _comb_kernel_tree). The parity fixup (subtract B for
+     even scalars, curve_group.h:214-217) runs masked at the end.
 
 Scalar domain: k in [1, order-1), as the ladder; degenerate scalars are the
-(measure-zero) k whose partial sums collide with a table entry's x line or hit
-infinity mid-chain (doc as kernels/window.py). Per-lane scalars, shared base.
+(measure-zero) k whose partial sums (prefix sums for serial, subset sums for
+tree) collide with a table entry's x line or hit infinity mid-chain (doc as
+kernels/window.py). Per-lane scalars, shared base.
 """
 
 from __future__ import annotations
