@@ -105,6 +105,23 @@ def scalar_mult_fast(scalars, points: AffinePoint, tile: int | None = None) -> A
     return AffinePoint(out.x, out.y, points.curve)
 
 
+def scalar_mult_base(scalars, curve: CurveSpec = P256,
+                     base: tuple[int, int] | None = None,
+                     tile: int | None = None) -> AffinePoint:
+    """Fixed-base fast path: k_i * B for a base shared by every lane (default
+    the curve generator) through the comb Pallas kernel — the TPU-native
+    answer to the reference's headline workload (benchs/curve_group.cpp:30-34
+    multiplies G). ~4x the per-lane window kernel; tables are host-built and
+    cached per (curve, base). Same degenerate-scalar caveat as the window
+    path (kernels/comb.py docstring)."""
+    from ecsimd_tpu.kernels import comb
+
+    kwargs = {} if tile is None else {"tile": tile}
+    res = comb.scalar_mult_base(scalars, curve, base=base, **kwargs)
+    out = res.to_affine()
+    return AffinePoint(out.x, out.y, curve)
+
+
 # --- host-friendly integer interfaces ----------------------------------------
 
 
