@@ -26,7 +26,6 @@ module makes that number reproducible:
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

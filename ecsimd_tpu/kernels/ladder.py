@@ -30,7 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ecsimd_tpu.field import GFp, gfp_swap_if
 from ecsimd_tpu.curves import group
 from ecsimd_tpu.kernels import coz as coz_k
-from ecsimd_tpu.kernels import digits as dg
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
 

@@ -25,7 +25,6 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ecsimd_tpu.field import GFp
 from ecsimd_tpu.kernels import digits as dg
 from ecsimd_tpu.kernels.coz import add_z2_1_fused, jac_add as _jac_add, jac_dbl as _jac_dbl
 from ecsimd_tpu.kernels.digits import VGFp
