@@ -83,6 +83,28 @@ def _window_degenerate(k, pt):
         return True
 
 
+def _require_backend(timeout_s: float = 240.0):
+    """Fail fast if the TPU tunnel is dead: jax.devices() otherwise blocks
+    forever dialing the relay, and the driver's bench step hangs with it."""
+    import sys
+    import threading
+
+    import jax
+
+    ok = []
+    t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok:
+        print(
+            f"bench: TPU backend not reachable within {timeout_s:.0f}s "
+            "(axon tunnel relay down?) — aborting instead of hanging",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    return ok[0]
+
+
 def main():
     import jax
 
@@ -145,6 +167,10 @@ def main():
                 _window_degenerate, [(k, pts[i]) for i, k in enumerate(ks[:nver])]
             )
         window_skip = {i for i, dg in enumerate(degen) if dg}
+
+    # backend probe AFTER the oracle pool: the fork must precede TPU/tunnel
+    # thread creation, and a dead tunnel must abort rather than hang
+    _require_backend()
 
     scalars = jnp.asarray(convert.ints_to_planes(ks, d))
     xs_np = np.asarray(convert.ints_to_planes([x for x, _ in pts], d))
