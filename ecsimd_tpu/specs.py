@@ -100,10 +100,14 @@ class FieldSpec:
 
 @dataclasses.dataclass(frozen=True)
 class CurveSpec:
-    """Short-Weierstrass curve y^2 = x^3 + a*x + b with a = -3 (mod p).
+    """Short-Weierstrass curve y^2 = x^3 + a*x + b.
 
     Mirrors the reference's curve concept + P-256 definition
-    (``curve.h:12-15``, ``curve_nist_p256.h:14-32``).
+    (``curve.h:12-15``, ``curve_nist_p256.h:14-32``). The reference's concept
+    requires a = -3; here the co-Z group law and ladders are generic in a
+    (dblu folds a into its trace-time constant; the co-Z adds never touch
+    it), so any odd-order short-Weierstrass curve works — only the window
+    kernel's dbl-2001-b doubling asserts a = -3 at trace time.
     """
 
     name: str
@@ -116,13 +120,17 @@ class CurveSpec:
 
     def __post_init__(self):
         p = self.field.p
-        assert self.a == (p - 3), "curve model requires a = -3 mod p"
         assert (self.gy * self.gy - (self.gx**3 + self.a * self.gx + self.b)) % p == 0
         assert self.order % 2 == 1  # ladder's force-odd trick needs odd order
 
     @property
     def p(self) -> int:
         return self.field.p
+
+    @property
+    def am3(self) -> bool:
+        """True for the reference's wst_curve_am3 shape (a = -3 mod p)."""
+        return self.a == self.field.p - 3
 
 
 def int_to_digits(x: int, ndigits: int) -> tuple[int, ...]:
@@ -186,5 +194,19 @@ P384 = CurveSpec(
     order=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFC7634D81F4372DDF581A0DB248B0A77AECEC196ACCC52973,
 )
 
-CURVES = {c.name: c for c in (P256, P384)}
+# secp256k1 (a = 0, Montgomery-reduction field) — beyond the reference, which
+# uses this prime only in its Montgomery tests; the generic-a group law and
+# CIOS field path make the full curve available (XLA + ladder-kernel paths;
+# the a = -3 window/comb fast paths decline it at trace time).
+SECP256K1 = CurveSpec(
+    name="secp256k1",
+    field=SECP256K1_FIELD,
+    a=0,
+    b=7,
+    gx=0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    gy=0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+    order=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
+)
+
+CURVES = {c.name: c for c in (P256, P384, SECP256K1)}
 FIELDS = {f.name: f for f in (P256_FIELD, SECP256K1_FIELD, P384_FIELD)}
