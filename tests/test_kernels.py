@@ -216,3 +216,37 @@ def test_window_core_xla_p256(rng):
     so gated behind ECSIMD_SLOW_TESTS."""
     ks = [1, 2, 5, 6] + [rng.randrange(1, P256.order) for _ in range(3)]
     _check_window_xla(P256, ks)
+
+
+def test_ladder_kernel_toy_mont_interpret(rng):
+    """The ladder kernel end-to-end on a Montgomery-reduction field (CIOS
+    digit-list mul + unfused group-law fallbacks inside the kernel) — the
+    code path generic primes like secp256k1 take; the Solinas toy cannot
+    reach it."""
+    from ecsimd_tpu.kernels import ladder
+    from tests.toy import TOYM
+
+    ks = [2, 5, 6, rng.randrange(1, 1 << 63)]
+    d = TOYM.field.ndigits
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+
+    xs = jnp.asarray(convert.broadcast_int(TOYM.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOYM.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOYM))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    res = ladder.scalar_mult(scalars, jg, tile=4, interpret=True)
+    # host-side affine: planes are Montgomery-domain (value * R mod p)
+    fs = TOYM.field
+    p = fs.p
+    R_inv = pow(fs.R, p - 2, p)
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(res.x.planes)),
+                       convert.planes_to_ints(np.asarray(res.y.planes)),
+                       convert.planes_to_ints(np.asarray(res.z.planes))):
+        X, Y, Z = X * R_inv % p, Y * R_inv % p, Z * R_inv % p
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    want = [coz.scalar_mult_affine(k, TOYM.gx, TOYM.gy, TOYM) for k in ks]
+    assert got == want

@@ -29,3 +29,25 @@ TOY64 = CurveSpec(
     gy=2,
     order=GOLDILOCKS.p,  # placeholder odd value; see module docstring
 )
+
+
+# Toy *Montgomery-reduction* field/curve: p = 2^64 - 189 is prime (= 3 mod 4)
+# with no Solinas structure, so the full CIOS path — kernel-dialect mont mul,
+# generic-a group-law fallbacks inside the ladder kernel — runs end-to-end at
+# 4 digits in interpret mode (the Solinas toy above cannot reach that code).
+MONT64 = FieldSpec(
+    name="mont64",
+    p=(1 << 64) - 189,
+    nbits=64,
+    reduction="montgomery",
+)
+
+TOYM = CurveSpec(
+    name="toy-mont64",
+    field=MONT64,
+    a=MONT64.p - 3,
+    b=6,
+    gx=1,
+    gy=2,
+    order=MONT64.p,  # placeholder odd value, as TOY64
+)
