@@ -85,10 +85,15 @@ def initialize_distributed(timeout_s: float = 120.0, **kwargs) -> None:
     SURVEY.md §2.3): after this, jax.devices() spans the pod slice and the same
     mesh/sharding code runs unchanged.
 
-    Fail-fast policy (SURVEY.md §5): a missing/wedged peer surfaces as a
-    RuntimeError within ``timeout_s`` instead of hanging the job — the
-    coordinator barrier gets ``initialization_timeout``, and callers should
-    follow up with :func:`health_check` before the first real collective.
+    Fail-fast policy (SURVEY.md §5): the coordinator barrier gets
+    ``initialization_timeout=timeout_s``, so a missing/wedged peer kills the
+    job within ``timeout_s`` instead of hanging it. Note the failure mode is
+    XLA's: an unreachable coordinator ABORTS the process with a fatal log at
+    the deadline (measured: LOG(FATAL) after ~timeout_s; not a catchable
+    Python exception) — which is the fail-fast contract for a supervised
+    pod job. Python-level errors (bad arguments, double init) surface as
+    RuntimeError. Follow up with :func:`health_check` before the first real
+    collective.
     """
     kwargs.setdefault("initialization_timeout", int(timeout_s))
     try:
