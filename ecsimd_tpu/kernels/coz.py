@@ -106,6 +106,65 @@ def jac_dbl(x1, y1, z1, curve: CurveSpec):
     return x3, y3, z3
 
 
+def jac_dbl_generic(x1, y1, z1, curve: CurveSpec):
+    """dbl-2001-b with per-op reductions — same algebra as jac_dbl for
+    Montgomery-reduction fields, whose t < R*p contract forbids the fused
+    multi-term Solinas combos."""
+    assert curve.a == curve.field.p - 3, f"{curve.name}: dbl-2001-b requires a = -3"
+    delta = z1.sqr()
+    gamma = y1.sqr()
+    beta4 = (x1 * gamma).double().double()
+    t = (x1 - delta) * (x1 + delta)
+    alpha = t.double() + t
+    x3 = alpha.sqr() - beta4.double()
+    z3 = (y1 + z1).sqr() - gamma - delta
+    y3 = alpha * (beta4 - x3) - gamma.sqr().double().double().double()
+    return x3, y3, z3
+
+
+def jac_add_generic(x1, y1, z1, x2, y2, z2):
+    """General Jacobian add with per-op reductions (Montgomery fields)."""
+    z1z1 = z1.sqr()
+    z2z2 = z2.sqr()
+    u1 = x1 * z2z2
+    u2 = x2 * z1z1
+    s1 = y1 * z2z2 * z2
+    s2 = y2 * z1z1 * z1
+    h = u2 - u1
+    r = s2 - s1
+    hh = h.sqr()
+    hhh = h * hh
+    v = u1 * hh
+    x3 = r.sqr() - hhh - v.double()
+    y3 = r * (v - x3) - s1 * hhh
+    z3 = z1 * z2 * h
+    return x3, y3, z3
+
+
+def dbl_any(x1, y1, z1, curve: CurveSpec):
+    """jac_dbl with reduction-strategy dispatch (fused for Solinas)."""
+    if curve.field.reduction == "solinas":
+        return jac_dbl(x1, y1, z1, curve)
+    return jac_dbl_generic(x1, y1, z1, curve)
+
+
+def add_any(x1, y1, z1, x2, y2, z2, curve: CurveSpec):
+    """jac_add with reduction-strategy dispatch (fused for Solinas)."""
+    if curve.field.reduction == "solinas":
+        return jac_add(x1, y1, z1, x2, y2, z2)
+    return jac_add_generic(x1, y1, z1, x2, y2, z2)
+
+
+def add_z2_1_any(x1, y1, z1, x2, y2, curve: CurveSpec):
+    """add_z2_1 with reduction-strategy dispatch (fused for Solinas; the
+    generic path is curves/group.add_z2_1, which duck-types over VGFp)."""
+    if curve.field.reduction == "solinas":
+        return add_z2_1_fused(x1, y1, z1, x2, y2)
+    from ecsimd_tpu.curves import group
+
+    return group.add_z2_1(x1, y1, z1, x2, y2)
+
+
 def jac_add(x1, y1, z1, x2, y2, z2):
     """General Jacobian add (11M+5S), x3/y3 as single fused reductions;
     degenerate when the x lines collide."""

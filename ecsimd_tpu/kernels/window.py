@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.kernels import digits as dg
-from ecsimd_tpu.kernels.coz import add_z2_1_fused, jac_add as _jac_add, jac_dbl as _jac_dbl
+from ecsimd_tpu.kernels.coz import add_any, add_z2_1_any, dbl_any
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
 
@@ -61,11 +61,11 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
     opp_y = y.opposite()
 
     # table of odd multiples: T[t] = (2t+1)P, per lane (Jacobian)
-    two = _jac_dbl(x, y, one, curve)
+    two = dbl_any(x, y, one, curve)
     T = [(x, y, one)]
     for _ in range(7):
         px, py, pz = T[-1]
-        T.append(_jac_add(px, py, pz, *two))
+        T.append(add_any(px, py, pz, *two, curve))
 
     def window_step(plane, plane_next, off, state):
         accx, accy, accz = (VGFp(v, fs) for v in state)
@@ -94,9 +94,9 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
         tyd = [jnp.where(neg, a, b) for a, b in zip(ty_opp, tyd)]
 
         for _ in range(W):
-            accx, accy, accz = _jac_dbl(accx, accy, accz, curve)
-        accx, accy, accz = _jac_add(
-            accx, accy, accz, VGFp(txd, fs), VGFp(tyd, fs), VGFp(tzd, fs)
+            accx, accy, accz = dbl_any(accx, accy, accz, curve)
+        accx, accy, accz = add_any(
+            accx, accy, accz, VGFp(txd, fs), VGFp(tyd, fs), VGFp(tzd, fs), curve
         )
         return accx.digs, accy.digs, accz.digs
 
@@ -130,7 +130,7 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
     accx, accy, accz = (VGFp(v, fs) for v in state)
 
     # parity fixup for even scalars (as in the ladder), fused reductions
-    sx, sy, sz = add_z2_1_fused(accx, accy, accz, x, opp_y)
+    sx, sy, sz = add_z2_1_any(accx, accy, accz, x, opp_y, curve)
     bit0 = read_plane(0) & 1
     meven = 1 - bit0
     accx = sx.select(meven, accx)

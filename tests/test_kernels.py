@@ -250,3 +250,33 @@ def test_ladder_kernel_toy_mont_interpret(rng):
         got.append((X * zi * zi % p, Y * zi * zi * zi % p))
     want = [coz.scalar_mult_affine(k, TOYM.gx, TOYM.gy, TOYM) for k in ks]
     assert got == want
+
+
+def test_window_core_xla_toy_mont(rng):
+    """Window compute path on the Montgomery-reduction toy curve (CIOS digit
+    mul + unfused double/add scaling fallbacks) — the generic-prime window
+    path end-to-end on CPU."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.kernels import window
+    from tests.toy import TOYM
+
+    fs = TOYM.field
+    d = fs.ndigits
+    ks = [1, 2, 5, 6, 255, 12345, rng.randrange(1, 1 << 63)]
+    xs = jnp.asarray(convert.broadcast_int(TOYM.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOYM.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOYM))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    ax, ay, z = window.window_xla_planes(scalars, jg.x.planes, jg.y.planes, TOYM)
+    p = fs.p
+    R_inv = pow(fs.R, p - 2, p)
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(ax)),
+                       convert.planes_to_ints(np.asarray(ay)),
+                       convert.planes_to_ints(np.asarray(z))):
+        X, Y, Z = X * R_inv % p, Y * R_inv % p, Z * R_inv % p
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    assert got == [coz.scalar_mult_affine(k, TOYM.gx, TOYM.gy, TOYM) for k in ks]
