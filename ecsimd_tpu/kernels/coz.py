@@ -141,8 +141,33 @@ def jac_add_generic(x1, y1, z1, x2, y2, z2):
     return x3, y3, z3
 
 
+def jac_dbl_general_a(x1, y1, z1, curve: CurveSpec):
+    """Jacobian doubling for ANY a (dbl-2007-bl shape, per-op reductions):
+    M = 3*X^2 + a*ZZ^2. One mul + one sqr dearer than the a = -3 form; used
+    for curves outside the reference's wst_curve_am3 concept (e.g.
+    secp256k1's a = 0, where the a term drops entirely)."""
+    fs = x1.fs
+    xx = x1.sqr()
+    yy = y1.sqr()
+    yyyy = yy.sqr()
+    zz = z1.sqr()
+    s = ((x1 + yy).sqr() - xx - yyyy).double()
+    m = xx.double() + xx
+    if curve.a % fs.p != 0:
+        m = m + zz.sqr() * x1.const_like(curve.a)
+    t = m.sqr() - s.double()
+    y3 = m * (s - t) - yyyy.double().double().double()
+    z3 = (y1 + z1).sqr() - yy - zz
+    return t, y3, z3
+
+
 def dbl_any(x1, y1, z1, curve: CurveSpec):
-    """jac_dbl with reduction-strategy dispatch (fused for Solinas)."""
+    """jac_dbl with reduction/curve-shape dispatch: fused dbl-2001-b for
+    Solinas a = -3, per-op dbl-2001-b for Montgomery a = -3, general-a
+    doubling otherwise."""
+    am3 = curve.a == curve.field.p - 3
+    if not am3:
+        return jac_dbl_general_a(x1, y1, z1, curve)
     if curve.field.reduction == "solinas":
         return jac_dbl(x1, y1, z1, curve)
     return jac_dbl_generic(x1, y1, z1, curve)

@@ -7,8 +7,12 @@ discipline: the window digits come from a closed-form signed-odd recoding
 is fully uniform. Same digit-per-vreg layout and VGFp group-law style as the
 ladder kernel.
 
-Per 4 bits: 4 Jacobian doublings (dbl-2001-b, a = -3: 3M+5S) + 1 general
-Jacobian add (11M+5S) against a per-lane table of odd multiples P..15P.
+Per 4 bits: 4 Jacobian doublings + 1 general Jacobian add (11M+5S) against
+a per-lane table of odd multiples P..15P. Formulas dispatch on the field's
+reduction strategy and the curve's a (kernels/coz.dbl_any): fused
+dbl-2001-b (3M+5S) for Solinas a = -3, per-op general-a doubling otherwise
+— so the fast path also covers curves outside the reference's a = -3
+concept (e.g. secp256k1).
 
 Domain: same exclusions as the ladder, plus (measure-zero for random k)
 scalars whose intermediate 16*acc collides with a table entry's x line
@@ -53,9 +57,6 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
     milliseconds unrolled — same ops, loop overhead only)."""
     fs = curve.field
     d = fs.ndigits
-    # _jac_dbl hard-codes the a = -3 doubling (dbl-2001-b); fail at trace time
-    # for any other curve (the reference's wst_curve_am3 concept).
-    assert curve.a == fs.p - 3, f"{curve.name}: window kernel requires a = -3"
 
     one = x.const_like(1)
     opp_y = y.opposite()

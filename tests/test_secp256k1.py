@@ -33,13 +33,31 @@ def test_secp256k1_scalar_mult(rng):
     assert list(zip(convert.planes_to_ints(got.x), convert.planes_to_ints(got.y))) == want
 
 
-def test_window_kernel_declines_non_am3():
-    from ecsimd_tpu.kernels import window
-    from ecsimd_tpu.kernels.digits import VGFp
+def test_window_general_a_toy(rng):
+    """Window path on an a != -3 curve (the secp256k1 shape) via the
+    general-a doubling dispatch — toy Montgomery field, eager twin."""
     import jax.numpy as jnp
+    import numpy as np
 
-    d = SECP256K1.field.ndigits
-    z = [jnp.zeros((1, 1), jnp.int32)] * d
-    with pytest.raises(AssertionError, match="a = -3"):
-        window._window_core(lambda dig: z[0], VGFp(z, SECP256K1.field),
-                            VGFp(z, SECP256K1.field), SECP256K1)
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.kernels import window
+    from tests.toy import TOYA5
+
+    fs = TOYA5.field
+    d = fs.ndigits
+    ks = [1, 2, 5, 6, 255, rng.randrange(1, 1 << 63)]
+    xs = jnp.asarray(convert.broadcast_int(TOYA5.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOYA5.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOYA5))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    ax, ay, z = window.window_xla_planes(scalars, jg.x.planes, jg.y.planes, TOYA5)
+    p = fs.p
+    R_inv = pow(fs.R, p - 2, p)
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(ax)),
+                       convert.planes_to_ints(np.asarray(ay)),
+                       convert.planes_to_ints(np.asarray(z))):
+        X, Y, Z = X * R_inv % p, Y * R_inv % p, Z * R_inv % p
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    assert got == [coz.scalar_mult_affine(k, TOYA5.gx, TOYA5.gy, TOYA5) for k in ks]

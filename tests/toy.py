@@ -51,3 +51,17 @@ TOYM = CurveSpec(
     gy=2,
     order=MONT64.p,  # placeholder odd value, as TOY64
 )
+
+
+# Toy curve with a != -3 on the Montgomery toy field: y^2 = x^3 + 5x - 2,
+# G = (1, 2) (4 == 1 + 5 - 2). Exercises the general-a doubling dispatch
+# (kernels/coz.jac_dbl_general_a) — the shape secp256k1 (a = 0) takes.
+TOYA5 = CurveSpec(
+    name="toy-a5-mont64",
+    field=MONT64,
+    a=5,
+    b=MONT64.p - 2,
+    gx=1,
+    gy=2,
+    order=MONT64.p,  # placeholder odd value, as TOY64
+)
