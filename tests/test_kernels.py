@@ -208,12 +208,12 @@ def test_window_core_xla_toy(rng):
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("ECSIMD_SLOW_TESTS"),
-    reason="P-256 window XLA cold compile >20 min on CPU (set ECSIMD_SLOW_TESTS=1)",
+    reason="P-256 window twin ~4 min eager on CPU (set ECSIMD_SLOW_TESTS=1)",
 )
 def test_window_core_xla_p256(rng):
     """Same, on real P-256 — the flagship kernel's full-width compute path
-    without TPU hardware. Cold compile >20 min on CPU (cached thereafter),
-    so gated behind ECSIMD_SLOW_TESTS."""
+    without TPU hardware (~4 min of eager dispatch; verified passing), gated
+    out of the default suite for time."""
     ks = [1, 2, 5, 6] + [rng.randrange(1, P256.order) for _ in range(3)]
     _check_window_xla(P256, ks)
 
