@@ -25,8 +25,10 @@ def _load_native():
         return None
     i8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.ec_bytes_be_to_planes.argtypes = [i8p, i32p, ctypes.c_int64, ctypes.c_int32]
     lib.ec_planes_to_bytes_be.argtypes = [i32p, i8p, ctypes.c_int64, ctypes.c_int32]
+    lib.ec_u64le_to_planes.argtypes = [u64p, i32p, ctypes.c_int64, ctypes.c_int32]
     return lib
 
 
@@ -89,6 +91,32 @@ def bytes_be_to_planes(data: bytes, ndigits: int) -> np.ndarray:
     lo = b[:, 1::2].astype(np.int32)
     digits_be = (hi << 8) | lo  # (B, D) most-significant digit first
     return np.ascontiguousarray(digits_be[:, ::-1].T).astype(np.int32)
+
+
+def u64le_to_planes(limbs) -> np.ndarray:
+    """(B, nlimbs) uint64 little-endian limb arrays -> (4*nlimbs, B) planes.
+
+    The GMP-export shape (mpz_export with -1 order / 8-byte words) and the
+    layout the reference's intmem fast path consumes (intmem.h:146-177 loads
+    64-bit limbs); each u64 limb splits into four base-2^16 digits. Uses the
+    native C++ packer (native/ecpack.cpp ec_u64le_to_planes) when built.
+    """
+    arr = np.ascontiguousarray(limbs, dtype=np.uint64)
+    assert arr.ndim == 2, "expected (batch, nlimbs)"
+    n, nlimbs = arr.shape
+    ndigits = 4 * nlimbs
+    if _NATIVE is not None and n:
+        out = np.empty((ndigits, n), dtype=np.int32)
+        _NATIVE.ec_u64le_to_planes(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            ndigits,
+        )
+        return out
+    # (B, nlimbs) u64 -> (B, 4*nlimbs) u16 little-endian digits -> (D, B)
+    digs = arr[:, :, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))
+    return (digs & np.uint64(0xFFFF)).reshape(n, ndigits).T.astype(np.int32)
 
 
 def planes_to_bytes_be(planes) -> bytes:

@@ -46,11 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.field import GFp
-from ecsimd_tpu.kernels.coz import (
-    add_z2_1_fused,
-    aff_add_fused as coz_aff_add,
-    jac_add as _jac_add,
-)
+from ecsimd_tpu.kernels.coz import add_any, add_z2_1_any, aff_add_any
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec, int_to_digits
 
@@ -155,6 +151,7 @@ def base_tables(curve: CurveSpec, bx: int, by: int):
         nx, ny = aff[off + 2 * m + 1]  # top - (2m+1) B
         put(0, (NENT - 1 + (2 * m + 1)) // 2, px, py)
         put(0, (NENT - 1 - (2 * m + 1)) // 2, nx, ny)
+    tables.setflags(write=False)  # cached + shared by every caller
     return tables, (bx, (p - by) % p)
 
 
@@ -232,7 +229,7 @@ def _comb_kernel(
     z1 = VGFp([accz_ref[k] for k in range(d)], fs)
     for u in range(unroll):
         ex, ey = gather(u)
-        x3, y3, z3 = add_z2_1_fused(x1, y1, z1, ex, ey)
+        x3, y3, z3 = add_z2_1_any(x1, y1, z1, ex, ey, curve)
         if u == 0:
             first = j == 0
             x1 = ex.select(first, x3)
@@ -248,8 +245,8 @@ def _comb_kernel(
     @pl.when(j == npos // unroll - 1)
     def _finish():
         # parity fixup: even k computed (k+1)B; subtract B (curve_group.h:214-217)
-        sx, sy, sz = add_z2_1_fused(
-            x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1])
+        sx, sy, sz = add_z2_1_any(
+            x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1]), curve
         )
         meven = 1 - par_ref[0]
         xo = sx.select(meven, x1)
@@ -316,17 +313,19 @@ def _tree_core(exd, eyd, par, curve: CurveSpec, negbase):
     npos = exd[0].shape[0]
     assert npos % 2 == 0
     half = npos // 2
-    x, y, z = coz_aff_add(
+    x, y, z = aff_add_any(
         VGFp([v[:half] for v in exd], fs), VGFp([v[:half] for v in eyd], fs),
         VGFp([v[half:] for v in exd], fs), VGFp([v[half:] for v in eyd], fs),
+        curve,
     )
     while x.digs[0].shape[0] > 1:
         n = x.digs[0].shape[0]
         h = n // 2
-        x3, y3, z3 = _jac_add(
+        x3, y3, z3 = add_any(
             VGFp([v[:h] for v in x.digs], fs), VGFp([v[:h] for v in y.digs], fs),
             VGFp([v[:h] for v in z.digs], fs), VGFp([v[h:2 * h] for v in x.digs], fs),
             VGFp([v[h:2 * h] for v in y.digs], fs), VGFp([v[h:2 * h] for v in z.digs], fs),
+            curve,
         )
         if n % 2:
             x3 = VGFp([jnp.concatenate([a, b[2 * h:]]) for a, b in zip(x3.digs, x.digs)], fs)
@@ -339,8 +338,8 @@ def _tree_core(exd, eyd, par, curve: CurveSpec, negbase):
     z1 = VGFp([v[0] for v in z.digs], fs)
 
     # parity fixup: even k computed (k+1)B; subtract B (curve_group.h:214-217)
-    sx, sy, sz = add_z2_1_fused(
-        x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1])
+    sx, sy, sz = add_z2_1_any(
+        x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1]), curve
     )
     meven = 1 - par
     return sx.select(meven, x1), sy.select(meven, y1), sz.select(meven, z1)
@@ -380,7 +379,6 @@ def comb_mont_planes(
     _comb_kernel_tree for the latency/domain trade).
     """
     fs = curve.field
-    assert fs.reduction == "solinas", "comb kernel requires a Solinas field"
     d = fs.ndigits
     npos = _npos(fs.nbits)
     b = scalars.shape[1]

@@ -92,6 +92,25 @@ def aff_add_fused(x1, y1, x2, y2):
     return x3, y3, h
 
 
+def aff_add_generic(x1, y1, x2, y2):
+    """aff_add_fused's algebra with per-op reductions (Montgomery fields)."""
+    h = x2 - x1
+    r = y2 - y1
+    hh = h.sqr()
+    hhh = h * hh
+    v = x1 * hh
+    x3 = r.sqr() - hhh - v.double()
+    y3 = r * (v - x3) - y1 * hhh
+    return x3, y3, h
+
+
+def aff_add_any(x1, y1, x2, y2, curve: CurveSpec):
+    """aff_add with reduction-strategy dispatch (fused for Solinas)."""
+    if curve.field.reduction == "solinas":
+        return aff_add_fused(x1, y1, x2, y2)
+    return aff_add_generic(x1, y1, x2, y2)
+
+
 def jac_dbl(x1, y1, z1, curve: CurveSpec):
     """dbl-2001-b for a = -3 (3M+5S), the 3x/4x/8x factors fused into the
     Solinas reduction; each output is one fused reduction."""

@@ -61,16 +61,24 @@ def scalar_mult(k: int, pt, curve: CurveSpec):
 
 
 def _jac_dbl(pt, curve):
-    """dbl-2001-b (a = -3): 3M+5S."""
+    """Generic-a Jacobian doubling (dbl-2007-bl shape on Python ints).
+
+    Valid for ANY short-Weierstrass a (host oracle — table builds and
+    verification go through here for every curve in specs.CURVES, so the
+    a = -3 specialization the kernels use for am3 curves must NOT be
+    hard-coded here; for a = -3 the M term below reduces to the same value
+    3*(X1-ZZ)(X1+ZZ) the dbl-2001-b alpha computes)."""
     p = curve.p
     x1, y1, z1 = pt
-    delta = z1 * z1 % p
-    gamma = y1 * y1 % p
-    beta = x1 * gamma % p
-    alpha = 3 * (x1 - delta) * (x1 + delta) % p
-    x3 = (alpha * alpha - 8 * beta) % p
-    z3 = ((y1 + z1) * (y1 + z1) - gamma - delta) % p
-    y3 = (alpha * (4 * beta - x3) - 8 * gamma * gamma) % p
+    xx = x1 * x1 % p
+    yy = y1 * y1 % p
+    yyyy = yy * yy % p
+    zz = z1 * z1 % p
+    s = 2 * ((x1 + yy) * (x1 + yy) - xx - yyyy) % p
+    m = (3 * xx + curve.a * zz % p * zz) % p
+    x3 = (m * m - 2 * s) % p
+    y3 = (m * (s - x3) - 8 * yyyy) % p
+    z3 = ((y1 + z1) * (y1 + z1) - yy - zz) % p
     return (x3, y3, z3)
 
 

@@ -258,8 +258,10 @@ def scalar_mult_base_sharded(
 
     fs = curve.field
     bx, by = base if base is not None else (curve.gx, curve.gy)
-    tables, negbase = _comb.base_tables(curve, int(bx), int(by))
-    tables_f32 = jnp.asarray(np.asarray(tables, np.float32))
+    # _device_tables caches the f32 device array per (curve, base): upload
+    # once, reuse across calls (a fresh jnp.asarray per call would re-upload
+    # ~1 MB through the tunnel every bench iteration)
+    tables_f32, negbase = _comb._device_tables(curve, int(bx), int(by))
     t = _comb.DEFAULT_TILE if tile is None else tile
     multiple = mesh.devices.size * (t if use_kernel else 1)
     sc, b_true = pad_batch(scalars, multiple)

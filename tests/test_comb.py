@@ -77,20 +77,25 @@ def test_base_tables(rng):
     assert negbase == (curve.gx, (fs.p - curve.gy) % fs.p)
 
 
-def _check(curve, ks, **kw):
+def _check(curve, ks, base=None, **kw):
     d = curve.field.ndigits
     scalars = jnp.asarray(convert.ints_to_planes(ks, d))
-    pt = comb.scalar_mult_base(scalars, curve, **kw)
-    # affine conversion host-side with Python ints (Solinas: internal ==
-    # classical); keeps the test off slow eager/XLA:CPU inversion chains
-    p = curve.field.p
+    pt = comb.scalar_mult_base(scalars, curve, base=base, **kw)
+    # affine conversion host-side with Python ints (internal -> classical via
+    # Montgomery arithmetic on ints for generic-prime fields; identity for
+    # Solinas); keeps the test off slow eager/XLA:CPU inversion chains
+    fs = curve.field
+    p = fs.p
+    rinv = pow(1 << fs.nbits, -1, p) if fs.reduction != "solinas" else 1
     got = []
     for X, Y, Z in zip(convert.planes_to_ints(np.asarray(pt.x.planes)),
                        convert.planes_to_ints(np.asarray(pt.y.planes)),
                        convert.planes_to_ints(np.asarray(pt.z.planes))):
+        X, Y, Z = X * rinv % p, Y * rinv % p, Z * rinv % p
         zi = pow(Z, p - 2, p)
         got.append((X * zi * zi % p, Y * zi * zi * zi % p))
-    want = [coz.scalar_mult_affine(k, curve.gx, curve.gy, curve) for k in ks]
+    bx, by = base if base is not None else (curve.gx, curve.gy)
+    want = [coz.scalar_mult_affine(k, bx, by, curve) for k in ks]
     assert got == want
 
 
@@ -135,6 +140,48 @@ def test_comb_tree_p256(rng):
     _check(P256, ks, use_kernel=False, chain="tree")
 
 
+def test_comb_xla_mont_toys(rng):
+    """Comb on Montgomery-reduction fields (tables in the Montgomery domain,
+    reduction-dispatched group law), incl. the general-a toy — the shapes
+    secp256k1 takes. No reference counterpart (the reference has no comb);
+    closes the curve-generality matrix."""
+    from tests.toy import TOYA5, TOYM
+
+    for curve in (TOYM, TOYA5):
+        ks = [1, 2, 5, 6, 255, 256, rng.randrange(1, curve.order)]
+        _check(curve, ks, use_kernel=False)
+
+
+def test_comb_xla_secp256k1(rng):
+    """Fixed-base comb on secp256k1 (a = 0, Montgomery/CIOS reduction)
+    through the XLA path, bit-exact vs the Python-int oracle."""
+    from ecsimd_tpu.specs import SECP256K1
+
+    ks = [1, 2, SECP256K1.order - 2] + [rng.randrange(1, SECP256K1.order) for _ in range(3)]
+    _check(SECP256K1, ks, use_kernel=False)
+
+
+def test_comb_kernel_mont_toy_interpret(rng):
+    """Pallas comb kernel end-to-end on the Montgomery toy field in
+    interpret mode: in-kernel CIOS mul + dispatched mixed add + Montgomery
+    fixup constants (VGFp.const_like converts to the internal domain)."""
+    from tests.toy import TOYM
+
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOYM.order)]
+    ks = ks * 16  # tile = 128 lanes
+    _check(TOYM, ks, tile=128, use_kernel=True, interpret=True, unroll=2)
+
+
+def test_comb_tree_mont_toy(rng):
+    """Tree comb chain on the Montgomery toy field through the eager host
+    twin (aff_add_generic first level + jac_add_generic levels)."""
+    from tests.toy import TOYM
+
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOYM.order)]
+    ks = ks * 16
+    _check(TOYM, ks, use_kernel=False, chain="tree")
+
+
 def test_aff_add_fused_vs_oracle(rng):
     """aff_add_fused (z1 = z2 = 1 add, the tree's first level) bit-exact vs
     the oracle's general Jacobian add, eagerly on plane digits."""
@@ -162,3 +209,14 @@ def test_aff_add_fused_vs_oracle(rng):
         for i in range(4):
             wx, wy, wz = ow._jac_add((*pts1[i], 1), (*pts2[i], 1), curve)
             assert (got[0][i], got[1][i], got[2][i]) == (wx, wy, wz), i
+
+
+def test_comb_xla_general_a_solinas(rng):
+    """a != -3 on the Solinas toy field: the host table build (generic-a
+    oracle doubling) and the comb chain must be correct for any curve a —
+    r2's table builder hard-coded dbl-2001-b (a = -3) and would have
+    silently built wrong tables here (ADVICE r2, medium)."""
+    from tests.toy import TOYA5S
+
+    ks = [1, 2, 5, 6, 255, 256, rng.randrange(1, TOYA5S.order)]
+    _check(TOYA5S, ks, use_kernel=False)

@@ -65,3 +65,19 @@ TOYA5 = CurveSpec(
     gy=2,
     order=MONT64.p,  # placeholder odd value, as TOY64
 )
+
+
+# Same a != -3 curve shape on the SOLINAS toy field: covers the general-a
+# doubling + fused-add mix on the Solinas reduction (no reference
+# counterpart — wst_curve_am3 hard-codes a = -3; here the framework stays
+# generic) and guards the host table builder (oracle/window._jac_dbl) being
+# generic in a.
+TOYA5S = CurveSpec(
+    name="toy-a5-goldilocks",
+    field=GOLDILOCKS,
+    a=5,
+    b=GOLDILOCKS.p - 2,
+    gx=1,
+    gy=2,
+    order=GOLDILOCKS.p,  # placeholder odd value, as TOY64
+)
