@@ -25,17 +25,40 @@ Prints ONE JSON line; headline = the fixed-base comb (the reference's headline
 workload), per-algorithm numbers under "algos". Baseline: BASELINE.md's
 north-star of >= 10M mults/sec on a v5e-8, i.e. 1.25M/sec/chip.
 
-Env knobs: BENCH_BATCH (16384), BENCH_ITERS (24), BENCH_TILE (2048),
+Timing methodology (measured r3, scripts/profile_kernels.py): iterations
+chain on their own device-resident output and the final sync copies a
+128-lane digest that depends on all three outputs of the last call. The
+digest (not the full (3, D, B) result) crosses the tunnel because the axon
+dev relay ships large execute outputs to the host eagerly per call — a
+dev-environment transport cost, not a property of the chip or of production
+PJRT; with it removed the end-to-end rates match the profiler's on-device
+kernel times (window/ladder AT their analytic formulation ceilings, comb at
+~78% of the VPU ceiling). Verification still round-trips full outputs.
+
+Env knobs: BENCH_BATCH (131072), BENCH_ITERS (24), BENCH_TILE (2048),
 BENCH_ALGO (comb | window | ladder | all), BENCH_VERIFY (all | comb | ... |
 none), BENCH_VERIFY_LANES (512), BENCH_CHAIN (serial | tree),
-BENCH_UNROLL (positions per comb grid step).
+BENCH_UNROLL (positions per comb grid step), BENCH_BUDGET_S (wall-clock
+budget in seconds; when set, the backend probe waits up to half of it and
+verify-only algorithms / the roofline measurement are dropped when the
+remaining budget cannot fit their estimated cold compiles — the headline
+algorithm always runs).
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("BENCH_BUDGET_S", "0")) or None
+
+
+def _remaining():
+    """Seconds left in the BENCH_BUDGET_S window (None = unbounded)."""
+    return None if _BUDGET is None else _BUDGET - (time.monotonic() - _T0)
 
 
 def _verify_points(n, curve):
@@ -85,16 +108,30 @@ def _window_degenerate(k, pt):
 
 def _require_backend(timeout_s: float = 240.0):
     """Fail fast if the TPU tunnel is dead: jax.devices() otherwise blocks
-    forever dialing the relay, and the driver's bench step hangs with it."""
-    import sys
+    forever dialing the relay, and the driver's bench step hangs with it.
+
+    Under BENCH_BUDGET_S the probe waits up to half the remaining budget
+    (a flaky relay that comes back in minutes should not abort the round —
+    exactly what ate the r02 capture) instead of the flat 240s window."""
     import threading
 
     import jax
 
+    if _BUDGET is not None:
+        timeout_s = max(60.0, (_remaining() or 0) / 2)
+
     ok = []
     t = threading.Thread(target=lambda: ok.append(jax.devices()), daemon=True)
     t.start()
-    t.join(timeout_s)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline and not ok:
+        t.join(min(30.0, max(0.1, deadline - time.monotonic())))
+        if not ok:
+            print(
+                f"bench: still waiting for TPU backend "
+                f"({deadline - time.monotonic():.0f}s left in probe window)",
+                file=sys.stderr,
+            )
     if not ok:
         print(
             f"bench: TPU backend not reachable within {timeout_s:.0f}s "
@@ -125,7 +162,7 @@ def main():
     from ecsimd_tpu.specs import P256
 
     ALL = ["comb", "window", "ladder"]
-    batch = int(os.environ.get("BENCH_BATCH", "16384"))
+    batch = int(os.environ.get("BENCH_BATCH", "131072"))
     iters = int(os.environ.get("BENCH_ITERS", "24"))
     tile = int(os.environ.get("BENCH_TILE", "2048"))
     algo = os.environ.get("BENCH_ALGO", "comb")
@@ -185,25 +222,60 @@ def main():
     tables_f32 = jnp.asarray(tables.astype(np.float32))
     chain = os.environ.get("BENCH_CHAIN", "serial")  # serial | tree
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
-    fns = {
-        "comb": jax.jit(
-            lambda s: comb.comb_mont_planes(
-                s, tables_f32, P256, tuple(negbase), tile=tile,
-                chain=chain, unroll=unroll,
-            )
+    raw = {
+        "comb": lambda s: comb.comb_mont_planes(
+            s, tables_f32, P256, tuple(negbase), tile=tile,
+            chain=chain, unroll=unroll,
         ),
-        "window": jax.jit(lambda s: window.window_mont_planes(s, xm, ym, P256, tile=tile)),
-        "ladder": jax.jit(lambda s: ladder.ladder_mont_planes(s, xm, ym, P256, tile=tile)),
+        "window": lambda s: window.window_mont_planes(s, xm, ym, P256, tile=tile),
+        "ladder": lambda s: ladder.ladder_mont_planes(s, xm, ym, P256, tile=tile),
     }
+    fns = {name: jax.jit(f) for name, f in raw.items()}
+
+    # Timed twins return (digest, ax): a 128-lane XOR of all three Jacobian
+    # outputs (so the kernel's full result feeds the sync) plus the x planes
+    # the next iteration chains on. Returning the full (3, D, B) outputs
+    # instead measures the dev tunnel, not the chip: the axon relay ships
+    # large execute outputs to the host eagerly (~GB/s HTTP), a per-call
+    # per-byte cost production PJRT (local DMA) does not have — measured
+    # r3 (scripts/profile_kernels.py): window/ladder run AT their analytic
+    # formulation ceilings on-device, and full-output returns were the
+    # entire end-to-end shortfall. Verification (above) still round-trips
+    # full outputs through fns[name].
+    def _timed_twin(f):
+        def g(s):
+            ax, ay, z = f(s)
+            return ax[:, :128] ^ ay[:, :128] ^ z[:, :128], ax
+        return jax.jit(g)
+
+    fns_timed = {name: _timed_twin(f) for name, f in raw.items()}
+
+    # budget degradation: verify-only algorithms are dropped (headline first,
+    # comb leads the run order) when the remaining budget can't fit their
+    # estimated compiles — window/ladder Mosaic compiles are 8-15 min cold
+    est_compile = {"comb": 150.0, "window": 900.0, "ladder": 600.0}
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache_warm = os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) >= 8
 
     rates = {}
+    degraded = []
     for name in algos:
-        fn = fns[name]
-        ax, ay, z = fn(scalars)  # warmup/compile
-        np.asarray(ax)
-
+        rem = _remaining()
+        if rem is not None and name not in timed:
+            est = 60.0 if cache_warm else est_compile[name]
+            if rem < est + 120.0:
+                print(
+                    f"bench: budget {rem:.0f}s left < {est:.0f}s estimated "
+                    f"{'warm' if cache_warm else 'cold'} compile — skipping "
+                    f"verify-only algo {name}",
+                    file=sys.stderr,
+                )
+                degraded.append(name)
+                continue
         if name in verified:
+            # full-output call (the timed path returns only a digest) —
             # verify ALL nver lanes bit-exact against the Python-int oracle
+            ax, ay, z = fns[name](scalars)
             res = JacobianPoint(
                 GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), P256
             ).to_affine()
@@ -219,15 +291,21 @@ def main():
 
         if name not in timed:
             continue
-        # timed loop: chain each iteration's scalars on the previous result and
-        # sync with a host copy — defeats any result caching / async dispatch
-        # in remote-execution paths.
+        # timed loop: chain each iteration's scalars on the previous result
+        # (a true data dependency across calls) and sync with a host copy of
+        # the last digest (which depends on all three outputs of the last
+        # call) — defeats any result caching / async dispatch in
+        # remote-execution paths without paying the tunnel's per-call
+        # full-output shipping (see _timed_twin).
+        tf = fns_timed[name]
+        dg, ax = tf(scalars)  # warmup the timed twin (kernel cache shared)
+        np.asarray(dg)
         t0 = time.perf_counter()
         s = scalars
         for _ in range(iters):
-            ax, ay, z = fn(s)
+            dg, ax = tf(s)
             s = ax
-        np.asarray(ax)
+        np.asarray(dg)
         rates[name] = batch * iters / (time.perf_counter() - t0)
 
     headline = rates.get("comb") or max(rates.values())
@@ -238,6 +316,9 @@ def main():
     from ecsimd_tpu.bench import roofline as rl
 
     try:
+        rem = _remaining()
+        if rem is not None and rem < 60.0:
+            raise RuntimeError(f"budget: {rem:.0f}s left, skipping ceiling measurement")
         ceiling = rl.measure_vpu_ceiling()
         roof = {
             name: rl.roofline(
@@ -257,7 +338,8 @@ def main():
                 "unit": "mults/s/chip",
                 "vs_baseline": round(headline / baseline_per_chip, 4),
                 "algos": {k: round(v, 1) for k, v in rates.items()},
-                "verified_algos": verified,
+                "verified_algos": [v for v in verified if v not in degraded],
+                **({"budget_degraded": degraded} if degraded else {}),
                 "verified_lanes": nver,
                 "roofline_fraction": roof,
             }

@@ -22,12 +22,22 @@ import numpy as np
 
 def run(batch_per_chip: int = 16384, iters: int = 8, tile: int = 2048,
         algo: str = "comb"):
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from ecsimd_tpu import api, convert, parallel
     from ecsimd_tpu.curves.point import JacobianPoint
     from ecsimd_tpu.specs import P256
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     devices = jax.devices()
     results = []
@@ -66,6 +76,43 @@ def run(batch_per_chip: int = 16384, iters: int = 8, tile: int = 2048,
     base = results[0]["per_chip"]
     for r in results:
         r["efficiency"] = round(r["per_chip"] / base, 4)
+
+    # per-call dispatch overhead (the efficiency denominator when real pods
+    # are out of reach): sharded-vs-unsharded per-call wall time on the SAME
+    # single chip and batch — the delta is the shard_map/jit wrapper +
+    # result-collection cost each extra shard_map call pays. The workload has
+    # zero collectives, so projected N-chip efficiency is
+    # t_kernel / (t_kernel + overhead) with t_kernel per-chip-constant.
+    if algo == "comb":
+        from ecsimd_tpu.kernels import comb as _comb
+
+        b = batch_per_chip
+        d = P256.field.ndigits
+        rng = np.random.default_rng(0xEC51)
+        ks = [int.from_bytes(rng.bytes(32), "little") % P256.order or 1 for _ in range(b)]
+        sc = jnp.asarray(convert.ints_to_planes(ks, d))
+        tables_f32, negbase = _comb._device_tables(P256, P256.gx, P256.gy)
+        fn = jax.jit(lambda s: _comb.comb_mont_planes(
+            s, tables_f32, P256, tuple(negbase), tile=tile))
+        ax, _, _ = fn(sc)
+        np.asarray(ax)
+        t0 = time.perf_counter()
+        s = sc
+        for _ in range(iters):
+            ax, _, _ = fn(s)
+            s = ax
+        np.asarray(ax)
+        t_unsharded = (time.perf_counter() - t0) / iters
+        t_sharded = b / results[0]["mults_per_sec"] * 1.0  # per call, 1 chip
+        overhead = t_sharded - t_unsharded
+        eff = t_unsharded / t_sharded if t_sharded > 0 else float("nan")
+        results.append({
+            "dispatch_overhead_us_per_call": round(overhead * 1e6, 1),
+            "unsharded_us_per_call": round(t_unsharded * 1e6, 1),
+            "sharded_us_per_call": round(t_sharded * 1e6, 1),
+            "projected_efficiency_vs_unsharded": round(eff, 4),
+        })
+
     print(json.dumps(results))
     return results
 
