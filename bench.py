@@ -319,7 +319,10 @@ def main():
         rem = _remaining()
         if rem is not None and rem < 60.0:
             raise RuntimeError(f"budget: {rem:.0f}s left, skipping ceiling measurement")
-        ceiling = rl.measure_vpu_ceiling()
+        # max of two: the calibration loop shares the tunnel with whatever
+        # else the host is doing, and a slow sample only ever UNDERSTATES
+        # the ceiling (overstating every fraction)
+        ceiling = max(rl.measure_vpu_ceiling(), rl.measure_vpu_ceiling())
         roof = {
             name: rl.roofline(
                 rate, "comb_tree" if name == "comb" and chain == "tree" else name,

@@ -80,9 +80,15 @@ def _to_internal(v: int, fs) -> int:
 
 @functools.cache
 def _device_tables(curve: CurveSpec, bx: int, by: int):
-    """base_tables as a device f32 array, uploaded once per (curve, base)."""
+    """base_tables as a device f32 array, uploaded once per (curve, base).
+
+    ensure_compile_time_eval: the first call may happen inside a jit trace
+    (e.g. a timing wrapper jitted around scalar_mult_base_sharded) — without
+    it the cache would capture a tracer and poison every later caller."""
     tables, negbase = base_tables(curve, bx, by)
-    return jnp.asarray(tables.astype(np.float32)), negbase
+    with jax.ensure_compile_time_eval():
+        dev = jnp.asarray(tables.astype(np.float32))
+    return dev, negbase
 
 
 @functools.cache

@@ -141,7 +141,7 @@ def jac_dbl_generic(x1, y1, z1, curve: CurveSpec):
     return x3, y3, z3
 
 
-def jac_add_generic(x1, y1, z1, x2, y2, z2):
+def jac_add_generic(x1, y1, z1, x2, y2, z2, with_hr: bool = False):
     """General Jacobian add with per-op reductions (Montgomery fields)."""
     z1z1 = z1.sqr()
     z2z2 = z2.sqr()
@@ -157,6 +157,8 @@ def jac_add_generic(x1, y1, z1, x2, y2, z2):
     x3 = r.sqr() - hhh - v.double()
     y3 = r * (v - x3) - s1 * hhh
     z3 = z1 * z2 * h
+    if with_hr:
+        return x3, y3, z3, h, r
     return x3, y3, z3
 
 
@@ -209,9 +211,10 @@ def add_z2_1_any(x1, y1, z1, x2, y2, curve: CurveSpec):
     return group.add_z2_1(x1, y1, z1, x2, y2)
 
 
-def jac_add(x1, y1, z1, x2, y2, z2):
+def jac_add(x1, y1, z1, x2, y2, z2, with_hr: bool = False):
     """General Jacobian add (11M+5S), x3/y3 as single fused reductions;
-    degenerate when the x lines collide."""
+    degenerate when the x lines collide. ``with_hr`` additionally returns
+    (h, r) for callers that resolve the degeneracy (add_complete_any)."""
     fs = x1.fs
     z1z1 = z1.sqr()
     z2z2 = z2.sqr()
@@ -227,4 +230,40 @@ def jac_add(x1, y1, z1, x2, y2, z2):
     x3 = _C(fs, (_gs(r), 1), (hhh.digs, -1), (v.digs, -2))
     y3 = _C(fs, (_gm(r, v - x3), 1), (_gm(s1, hhh), -1))
     z3 = z1 * z2 * h
+    if with_hr:
+        return x3, y3, z3, h, r
+    return x3, y3, z3
+
+
+def add_complete_any(x1, y1, z1, x2, y2, z2, curve: CurveSpec):
+    """Exception-free general Jacobian add (strict-CT window accumulation):
+    masked completion of the h == 0 cases the plain formulas corrupt —
+
+      h == 0, r == 0  (P1 == P2)   -> doubling of P1,
+      h == 0, r != 0  (P1 == -P2)  -> infinity (encoded Z == 0),
+      Z1 == 0         (P1 == inf)  -> P2,
+
+    all with uniform control flow (per-lane selects); P2 must be finite. The
+    reference's ladder never needs this (co-Z invariants exclude the cases,
+    curve_group.h:189-218); this closes the window path's measure-zero
+    adversarial-scalar class at ~+1 doubling per accumulation add. Doubling
+    of infinity stays at infinity through dbl_any (z3 has a factor z1), so a
+    flagged lane survives the remaining chain."""
+    if curve.field.reduction == "solinas":
+        x3, y3, z3, h, r = jac_add(x1, y1, z1, x2, y2, z2, with_hr=True)
+    else:
+        x3, y3, z3, h, r = jac_add_generic(x1, y1, z1, x2, y2, z2, with_hr=True)
+    hz = dg.is_zero(h.digs)
+    rz = dg.is_zero(r.digs)
+    inf1 = dg.is_zero(z1.digs)
+    m_same = hz & rz & ~inf1
+    m_opp = hz & ~rz & ~inf1
+    xd, yd, zd = dbl_any(x1, y1, z1, curve)
+    x3 = xd.select(m_same, x3)
+    y3 = yd.select(m_same, y3)
+    z3 = zd.select(m_same, z3.select(~m_opp, z3.const_like(0)))
+    one = x1.const_like(1)
+    x3 = x2.select(inf1, x3)
+    y3 = y2.select(inf1, y3)
+    z3 = one.select(inf1, z3)
     return x3, y3, z3

@@ -141,6 +141,15 @@ def select(mask, a, b):
     return [jnp.where(m, x, y) for x, y in zip(a, b)]
 
 
+def is_zero(digs):
+    """Per-lane zero test over normalized digit lists (value == 0 mod p ⟺
+    every digit 0, since mod_* outputs live in [0, p))."""
+    m = digs[0] == 0
+    for v in digs[1:]:
+        m = m & (v == 0)
+    return m
+
+
 def _p_digits(fs: FieldSpec):
     return [jnp.int32(x) for x in fs.p_digits]
 

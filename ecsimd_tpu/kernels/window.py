@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.kernels import digits as dg
-from ecsimd_tpu.kernels.coz import add_any, add_z2_1_any, dbl_any
+from ecsimd_tpu.kernels.coz import add_any, add_complete_any, add_z2_1_any, dbl_any
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec
 
@@ -39,7 +39,10 @@ LANES = 128
 W = 4
 
 
-def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = False):
+def _window_core(
+    read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = False,
+    strict: bool = False,
+):
     """The full windowed scalar-mult computation on VGFp digit lists.
 
     ``read_plane(dig)`` returns the scalar digit plane ``dig`` (possibly a
@@ -54,7 +57,14 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
     indices and shift counts). The Pallas kernel keeps rolled loops (compact
     Mosaic trace); the XLA twin unrolls because XLA:CPU's while-loop
     execution degenerates on this body (minutes per toy-curve run vs
-    milliseconds unrolled — same ops, loop overhead only)."""
+    milliseconds unrolled — same ops, loop overhead only).
+
+    ``strict=True`` replaces the accumulation adds (and the parity fixup)
+    with the exception-free complete add (coz.add_complete_any), closing the
+    measure-zero degenerate scalar class at ~+1 doubling per add (~+15% ops)
+    — total on the full ladder domain k in [1, order-1). The per-lane TABLE
+    build keeps plain adds: (2j+1)P degenerates only if P's order is < 17,
+    i.e. an invalid input on any cryptographic curve."""
     fs = curve.field
     d = fs.ndigits
 
@@ -96,7 +106,8 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
 
         for _ in range(W):
             accx, accy, accz = dbl_any(accx, accy, accz, curve)
-        accx, accy, accz = add_any(
+        adder = add_complete_any if strict else add_any
+        accx, accy, accz = adder(
             accx, accy, accz, VGFp(txd, fs), VGFp(tyd, fs), VGFp(tzd, fs), curve
         )
         return accx.digs, accy.digs, accz.digs
@@ -130,8 +141,14 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
         state = lax.fori_loop(0, d, outer, state)
     accx, accy, accz = (VGFp(v, fs) for v in state)
 
-    # parity fixup for even scalars (as in the ladder), fused reductions
-    sx, sy, sz = add_z2_1_any(accx, accy, accz, x, opp_y, curve)
+    # parity fixup for even scalars (as in the ladder), fused reductions.
+    # strict: the complete add also covers acc == infinity, i.e. k =
+    # order(P) - 1 (even), where the result is exactly -P — strict mode is
+    # total on [1, order), one scalar MORE than the ladder's domain.
+    if strict:
+        sx, sy, sz = add_complete_any(accx, accy, accz, x, opp_y, one, curve)
+    else:
+        sx, sy, sz = add_z2_1_any(accx, accy, accz, x, opp_y, curve)
     bit0 = read_plane(0) & 1
     meven = 1 - bit0
     accx = sx.select(meven, accx)
@@ -140,13 +157,16 @@ def _window_core(read_plane, x: VGFp, y: VGFp, curve: CurveSpec, unroll: bool = 
     return accx, accy, accz
 
 
-def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec):
+def _window_kernel(
+    scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: CurveSpec,
+    strict: bool = False,
+):
     d = curve.field.ndigits
     fs = curve.field
     x = VGFp([x_ref[0, k] for k in range(d)], fs)
     y = VGFp([y_ref[0, k] for k in range(d)], fs)
     accx, accy, accz = _window_core(
-        lambda dig: scalars_ref[0, pl.ds(dig, 1)][0], x, y, curve
+        lambda dig: scalars_ref[0, pl.ds(dig, 1)][0], x, y, curve, strict=strict
     )
     for k in range(d):
         ax_ref[0, k] = accx.digs[k]
@@ -154,12 +174,14 @@ def _window_kernel(scalars_ref, x_ref, y_ref, ax_ref, ay_ref, z_ref, *, curve: C
         z_ref[0, k] = accz.digs[k]
 
 
-@functools.partial(jax.jit, static_argnames=("curve", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("curve", "tile", "interpret", "strict"))
 def window_mont_planes(
-    scalars, xm, ym, curve: CurveSpec, tile: int = DEFAULT_TILE, interpret: bool = False
+    scalars, xm, ym, curve: CurveSpec, tile: int = DEFAULT_TILE, interpret: bool = False,
+    strict: bool = False,
 ):
     """Windowed scalar mult on internal-domain planes; same I/O contract as
-    ladder.ladder_mont_planes."""
+    ladder.ladder_mont_planes. ``strict=True`` uses complete accumulation
+    adds: total scalar domain [1, order), ~+15% ops (see _window_core)."""
     d = curve.field.ndigits
     b = scalars.shape[1]
     assert scalars.shape == (d, b) and xm.shape == (d, b) and ym.shape == (d, b)
@@ -178,7 +200,7 @@ def window_mont_planes(
     spec = pl.BlockSpec((1, d, s, lanes), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nblk, d, s, lanes), jnp.int32)
     ax, ay, z = pl.pallas_call(
-        functools.partial(_window_kernel, curve=curve),
+        functools.partial(_window_kernel, curve=curve, strict=strict),
         grid=(nblk,),
         in_specs=[spec, spec, spec],
         out_specs=(spec, spec, spec),
@@ -188,7 +210,7 @@ def window_mont_planes(
     return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
 
-def window_xla_planes(scalars, xm, ym, curve: CurveSpec):
+def window_xla_planes(scalars, xm, ym, curve: CurveSpec, strict: bool = False):
     """XLA twin of window_mont_planes: the SAME compute graph
     (_window_core — fused formulas, masked gathers, parity fixup) on (D, B)
     planes without the Pallas plumbing, so pytest exercises the window path
@@ -204,7 +226,7 @@ def window_xla_planes(scalars, xm, ym, curve: CurveSpec):
     x = VGFp([xm[k] for k in range(d)], fs)
     y = VGFp([ym[k] for k in range(d)], fs)
     accx, accy, accz = _window_core(
-        lambda dig: scalars[dig], x, y, curve, unroll=True
+        lambda dig: scalars[dig], x, y, curve, unroll=True, strict=strict
     )
     return jnp.stack(accx.digs), jnp.stack(accy.digs), jnp.stack(accz.digs)
 
