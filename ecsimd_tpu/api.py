@@ -90,17 +90,22 @@ def scalar_mult_p256(scalars, points: AffinePoint) -> AffinePoint:
     return scalar_mult(scalars, points)
 
 
-def scalar_mult_fast(scalars, points: AffinePoint, tile: int | None = None) -> AffinePoint:
+def scalar_mult_fast(
+    scalars, points: AffinePoint, tile: int | None = None, strict: bool = False
+) -> AffinePoint:
     """Batched k_i * P_i through the fused signed-window Pallas kernel —
     the TPU fast path (~1.35x the ladder). Constant-time (masked lookups);
-    see kernels/window.py for the (measure-zero) degenerate-scalar caveat;
-    use scalar_mult for adversarially chosen scalars."""
+    see kernels/window.py for the (measure-zero) degenerate-scalar caveat.
+    ``strict=True`` uses complete accumulation adds: total scalar domain
+    [1, order) at ~+15% ops — safe for adversarially chosen scalars (the
+    plain ladder ``scalar_mult`` remains the reference-parity alternative)."""
     from ecsimd_tpu.curves.point import JacobianPoint
-    from ecsimd_tpu.kernels import window
+    from ecsimd_tpu.kernels import ladder, window
 
     jg = JacobianPoint.from_affine(points)
     kwargs = {} if tile is None else {"tile": tile}
-    res = window.scalar_mult(scalars, jg, **kwargs)
+    fn = partial(window.window_mont_planes, strict=True) if strict else window.window_mont_planes
+    res = ladder._run_padded(fn, scalars, jg, kwargs.get("tile", window.DEFAULT_TILE), False)
     out = res.to_affine()
     return AffinePoint(out.x, out.y, points.curve)
 

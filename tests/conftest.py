@@ -8,13 +8,19 @@ calls for). Must set env vars before the first jax import.
 
 import os
 
-# Force CPU: the ambient environment may point JAX at a tunneled TPU
-# (JAX_PLATFORMS=axon), which serializes every unit-test compile through one
-# remote chip. Unit tests are correctness tests; only bench.py uses the TPU.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# ECSIMD_TPU_TESTS=1 keeps the real backend so the @skipif(TPU)-gated
+# hardware KATs run on the actual chip:
+#   ECSIMD_TPU_TESTS=1 python -m pytest tests/ -q -k tpu
+# Default: force CPU — the ambient environment may point JAX at a tunneled
+# TPU (JAX_PLATFORMS=axon), which serializes every unit-test compile through
+# one remote chip. Unit tests are correctness tests; only bench.py and the
+# explicit TPU KATs use the hardware.
+_TPU_MODE = bool(os.environ.get("ECSIMD_TPU_TESTS"))
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
@@ -22,7 +28,8 @@ import jax
 # Config API, not env vars: sitecustomize imports jax at interpreter start
 # (axon PJRT plugin), so env vars set here lose to the registered plugin /
 # already-read config. The config updates below reliably win.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: the suite compiles a few large programs
 # (254-step ladders, 256-bit pow chains) at ~2 min each on CPU; cache them
 # across runs so only the first run pays.
