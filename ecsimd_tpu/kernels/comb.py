@@ -194,24 +194,35 @@ def gather_entries(tables_f32, idx):
 
 def _comb_kernel(
     par_ref, idx_ref, tbl_ref, ax_ref, ay_ref, z_ref, accx_ref, accy_ref, accz_ref,
-    *, curve: CurveSpec, npos: int, negbase, unroll: int
+    *, curve: CurveSpec, npos: int, negbase, unroll: int, chains: int = 1
 ):
-    """Grid (nblk, npos // unroll): each step gathers ``unroll`` positions and
-    chains one fused mixed add per position, accumulator in VMEM scratch.
+    """Grid (nblk, npos // (unroll * chains)): each step gathers
+    ``unroll * chains`` positions and advances ``chains`` INDEPENDENT
+    accumulator chains by ``unroll`` fused mixed adds each; at the last step
+    the chains are combined with general Jacobian adds and the parity fixup
+    runs. Positions are host-permuted so step j's block holds, for each
+    chain c, position c * (npos // chains) + j*unroll .. +unroll-1.
 
     The body is UNIFORM across steps: the recoding's constant top digit is
-    folded into the position-0 table (base_tables), so seeding the
-    accumulator is a per-lane select against the first gathered entry at
+    folded into the position-0 table (base_tables), so seeding each
+    accumulator is a per-lane select against its first gathered entry at
     j == 0 instead of a separate init formula. The one wasted add at j == 0
     operates on whatever the scratch holds (bounded int32 values, wraparound
-    semantics) and its result is discarded by the select. Unrolling
-    amortizes the per-grid-step fixed cost (block bookkeeping, output
-    write-backs, pipeline bubbles around the serial scratch dependency) —
-    measured at ~8-9 us/step against ~6.5 us of add work at unroll=1."""
+    semantics) and its result is discarded by the select.
+
+    Why chains: the single-chain step is latency-bound — ~8-9 us/step
+    against ~6.5 us of add work (measured r2), and dependent unrolling
+    (unroll > 1) LOSES (r3 A/B: 3.79M/3.02M/2.93M for 1/2/4). Independent
+    chains amortize the same per-step fixed cost WITHOUT lengthening the
+    dependency path — the c adds in a step have no data dependence and can
+    overlap. Scalar-domain caveat: chain-combine adds partial sums, so the
+    degenerate class extends to cross-chain collisions (same measure-zero
+    family as the tree chain; bench verifies 512 lanes per run)."""
     fs = curve.field
     d = fs.ndigits
     j = pl.program_id(1)
     s, lanes = idx_ref.shape[2], idx_ref.shape[3]
+    nsteps = npos // (unroll * chains)
 
     def gather(u):
         # In-kernel one-hot x table gather on the MXU: the (NENT, tile)
@@ -230,27 +241,35 @@ def _comb_kernel(
             VGFp([ent[d + k] for k in range(d)], fs),
         )
 
-    x1 = VGFp([accx_ref[k] for k in range(d)], fs)
-    y1 = VGFp([accy_ref[k] for k in range(d)], fs)
-    z1 = VGFp([accz_ref[k] for k in range(d)], fs)
-    for u in range(unroll):
-        ex, ey = gather(u)
-        x3, y3, z3 = add_z2_1_any(x1, y1, z1, ex, ey, curve)
-        if u == 0:
-            first = j == 0
-            x1 = ex.select(first, x3)
-            y1 = ey.select(first, y3)
-            z1 = z3.const_like(1).select(first, z3)
-        else:
-            x1, y1, z1 = x3, y3, z3
-    for k in range(d):
-        accx_ref[k] = x1.digs[k]
-        accy_ref[k] = y1.digs[k]
-        accz_ref[k] = z1.digs[k]
+    first = j == 0
+    accs = []
+    for c in range(chains):
+        x1 = VGFp([accx_ref[c * d + k] for k in range(d)], fs)
+        y1 = VGFp([accy_ref[c * d + k] for k in range(d)], fs)
+        z1 = VGFp([accz_ref[c * d + k] for k in range(d)], fs)
+        for u in range(unroll):
+            ex, ey = gather(c * unroll + u)
+            x3, y3, z3 = add_z2_1_any(x1, y1, z1, ex, ey, curve)
+            if u == 0:
+                x1 = ex.select(first, x3)
+                y1 = ey.select(first, y3)
+                z1 = z3.const_like(1).select(first, z3)
+            else:
+                x1, y1, z1 = x3, y3, z3
+        accs.append((x1, y1, z1))
+        for k in range(d):
+            accx_ref[c * d + k] = x1.digs[k]
+            accy_ref[c * d + k] = y1.digs[k]
+            accz_ref[c * d + k] = z1.digs[k]
 
-    @pl.when(j == npos // unroll - 1)
+    @pl.when(j == nsteps - 1)
     def _finish():
-        # parity fixup: even k computed (k+1)B; subtract B (curve_group.h:214-217)
+        # combine the independent chains (general adds; z's differ) ...
+        x1, y1, z1 = accs[0]
+        for c in range(1, chains):
+            x1, y1, z1 = add_any(x1, y1, z1, *accs[c], curve)
+        # ... then the parity fixup: even k computed (k+1)B; subtract B
+        # (curve_group.h:214-217)
         sx, sy, sz = add_z2_1_any(
             x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1]), curve
         )
@@ -367,12 +386,13 @@ def comb_tree_host_planes(scalars, tables_f32, curve: CurveSpec, negbase):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("curve", "negbase", "tile", "interpret", "unroll", "chain")
+    jax.jit,
+    static_argnames=("curve", "negbase", "tile", "interpret", "unroll", "chain", "chains"),
 )
 def comb_mont_planes(
     scalars, tables_f32, curve: CurveSpec, negbase,
     tile: int = DEFAULT_TILE, interpret: bool = False, unroll: int = 1,
-    chain: str = "serial",
+    chain: str = "serial", chains: int = 1,
 ):
     """Fixed-base comb scalar mult on digit planes.
 
@@ -380,9 +400,10 @@ def comb_mont_planes(
     internal-domain tables from base_tables (top folded into position 0);
     negbase: classical affine int pair (static). Returns Jacobian (ax, ay, z)
     internal-domain planes. chain="serial" accumulates positions one mixed
-    add at a time (grid axis, unroll positions per step); chain="tree" sums
-    them by a batched pairwise tree in one grid step per block (see
-    _comb_kernel_tree for the latency/domain trade).
+    add at a time (grid axis, unroll positions per step, ``chains``
+    independent accumulators combined at the end — see _comb_kernel);
+    chain="tree" sums them by a batched pairwise tree in one grid step per
+    block (see _comb_kernel_tree for the latency/domain trade).
     """
     fs = curve.field
     d = fs.ndigits
@@ -390,7 +411,8 @@ def comb_mont_planes(
     b = scalars.shape[1]
     assert scalars.shape == (d, b)
     assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
-    assert npos % unroll == 0, f"npos {npos} not a multiple of unroll {unroll}"
+    assert npos % (unroll * chains) == 0, (
+        f"npos {npos} not a multiple of unroll*chains {unroll * chains}")
     lanes = min(LANES, tile)
     s = tile // lanes
     assert s * lanes == tile, f"tile {tile} not a multiple of {lanes}"
@@ -427,18 +449,33 @@ def comb_mont_planes(
             return a.transpose(1, 0, 2, 3).reshape(d, b)
         return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
+    if chains > 1:
+        # interleave positions so step j's block row (c*unroll + u) holds
+        # chain c's position c*(npos//chains) + j*unroll + u
+        per_chain = npos // chains
+        perm = [
+            c * per_chain + j_ * unroll + u
+            for j_ in range(per_chain // unroll)
+            for c in range(chains)
+            for u in range(unroll)
+        ]
+        idx_blocks = idx_blocks[:, jnp.asarray(perm)]
+        tbl_t = tbl_t[jnp.asarray(perm)]
+
+    g = unroll * chains
     spec_par = pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     spec_idx = pl.BlockSpec(
-        (1, unroll, s, lanes), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        (1, g, s, lanes), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
-    spec_tbl = pl.BlockSpec((unroll, 2 * d, NENT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    spec_tbl = pl.BlockSpec((g, 2 * d, NENT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, d, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((d, s, lanes), jnp.int32) for _ in range(3)]
+    scratch = [pltpu.VMEM((chains * d, s, lanes), jnp.int32) for _ in range(3)]
     ax, ay, z = pl.pallas_call(
         functools.partial(
-            _comb_kernel, curve=curve, npos=npos, negbase=negbase, unroll=unroll
+            _comb_kernel, curve=curve, npos=npos, negbase=negbase, unroll=unroll,
+            chains=chains,
         ),
-        grid=(nblk, npos // unroll),
+        grid=(nblk, npos // g),
         in_specs=[spec_par, spec_idx, spec_tbl],
         out_specs=(spec_out, spec_out, spec_out),
         out_shape=(out_shape, out_shape, out_shape),
@@ -496,7 +533,7 @@ def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, negbase):
 def scalar_mult_base(
     scalars, curve: CurveSpec, base: tuple[int, int] | None = None,
     tile: int = DEFAULT_TILE, use_kernel: bool = True, interpret: bool = False,
-    unroll: int = 1, chain: str = "serial",
+    unroll: int = 1, chain: str = "serial", chains: int = 1,
 ):
     """k_i * B for a shared base point B (default: the curve generator).
 
@@ -518,7 +555,7 @@ def scalar_mult_base(
         fn = comb_mont_planes.__wrapped__ if interpret else comb_mont_planes
         ax, ay, z = fn(
             sc, tables_f32, curve, tuple(negbase), tile=tile, interpret=interpret,
-            unroll=unroll, chain=chain,
+            unroll=unroll, chain=chain, chains=chains,
         )
         ax, ay, z = ax[:, :b_true], ay[:, :b_true], z[:, :b_true]
     else:

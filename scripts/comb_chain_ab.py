@@ -5,7 +5,12 @@ timed loop (chained iterations + host-copy sync; see CLAUDE.md on honest
 tunnel timing). Compiles cache in .jax_cache, so re-runs are cheap.
 
 Usage: python scripts/comb_chain_ab.py [variant ...] where variant is
-`tree` or `serial:<unroll>`; default: tree serial:1.
+`tree`, `serial:<unroll>`, or `chains:<n>` (n independent accumulator
+chains, combined at the last grid step); default: tree serial:1.
+
+Timing uses the digest-sync methodology (see bench.py): the tunnel ships
+large outputs eagerly, so the timed twin returns a 128-lane digest plus the
+chained x planes.
 """
 
 import os
@@ -48,9 +53,22 @@ def main(variants):
     tables_f32 = jnp.asarray(tables.astype(np.float32))
 
     for v in variants:
-        chain, unroll = ("tree", 1) if v == "tree" else ("serial", int(v.split(":")[1]))
+        chain, unroll, chains = "serial", 1, 1
+        if v == "tree":
+            chain = "tree"
+        elif v.startswith("chains:"):
+            chains = int(v.split(":")[1])
+        else:
+            unroll = int(v.split(":")[1])
         fn = jax.jit(lambda s: comb.comb_mont_planes(
-            s, tables_f32, P256, tuple(negbase), tile=tile, chain=chain, unroll=unroll))
+            s, tables_f32, P256, tuple(negbase), tile=tile, chain=chain,
+            unroll=unroll, chains=chains))
+
+        def timed(s, fn=fn):
+            ax, ay, z = fn(s)
+            return ax[:, :128] ^ ay[:, :128] ^ z[:, :128], ax
+
+        tfn = jax.jit(timed)
         t0 = time.perf_counter()
         ax, ay, z = fn(scalars)
         np.asarray(ax)
@@ -61,12 +79,14 @@ def main(variants):
         for i in range(4):
             want = coz.scalar_mult_affine(ks[i], P256.gx, P256.gy, P256)[0]
             assert gx[i] == want, f"{v} lane {i} mismatch"
+        dg, ax = tfn(scalars)
+        np.asarray(dg)
         t0 = time.perf_counter()
         s = scalars
         for _ in range(iters):
-            ax, ay, z = fn(s)
+            dg, ax = tfn(s)
             s = ax
-        np.asarray(ax)
+        np.asarray(dg)
         dt = time.perf_counter() - t0
         print(f"{v}: {batch * iters / dt / 1e6:.2f}M mults/s "
               f"({dt / iters * 1e6:.0f} us/call, first-call {tc:.0f}s)", flush=True)

@@ -220,3 +220,20 @@ def test_comb_xla_general_a_solinas(rng):
 
     ks = [1, 2, 5, 6, 255, 256, rng.randrange(1, TOYA5S.order)]
     _check(TOYA5S, ks, use_kernel=False)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ECSIMD_SLOW_TESTS"),
+    reason="chains=2 interpret pathologically slow on XLA:CPU eager "
+    "(>10 min vs ~30 s for unroll=2 — same op count; the permuted-block "
+    "epilogue trips the eager dispatcher); TPU-verified instead: "
+    "scripts/comb_chain_ab.py chains:2 asserts 4 oracle lanes every run",
+)
+def test_comb_kernel_chains_interpret(rng):
+    """Multi-chain serial comb (2 independent accumulators combined by a
+    general add at the last grid step) in interpret mode — covers the
+    position permutation, per-chain select-seeding, and the combine+fixup
+    epilogue."""
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
+    ks = ks * 16  # tile = 128 lanes
+    _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, chains=2)
