@@ -92,6 +92,22 @@ def _device_tables(curve: CurveSpec, bx: int, by: int):
 
 
 @functools.cache
+def _device_tables8(curve: CurveSpec, bx: int, by: int):
+    """base_tables split into 8-bit half-digits as a bf16 device array
+    (npos, NENT, 4D): row byte 2k = digit k & 0xFF, 2k+1 = digit k >> 8.
+    bf16 holds integers < 256 exactly, so the one-hot gather matmul stays
+    exact while halving the one-hot + table VMEM traffic vs f32
+    (ent_bits=8 in comb_mont_planes)."""
+    tables, negbase = base_tables(curve, bx, by)
+    t8 = np.empty(tables.shape[:2] + (2 * tables.shape[2],), np.int32)
+    t8[..., 0::2] = tables & 0xFF
+    t8[..., 1::2] = (tables >> 8) & 0xFF
+    with jax.ensure_compile_time_eval():
+        dev = jnp.asarray(t8).astype(jnp.bfloat16)
+    return dev, negbase
+
+
+@functools.cache
 def base_tables(curve: CurveSpec, bx: int, by: int):
     """Host-precomputed comb tables for base B = (bx, by).
 
@@ -228,14 +244,23 @@ def _comb_kernel(
         # In-kernel one-hot x table gather on the MXU: the (NENT, tile)
         # one-hot lives only in VMEM (the host-side XLA formulation
         # materializes ~0.5 GB of one-hot + entry HBM traffic per 16k batch,
-        # ~35% of runtime). Exact: one product per output, table values
-        # < 2^16 < f32's 24-bit mantissa, HIGHEST precision on the MXU.
+        # ~35% of runtime). Exact: one product per output — f32 tables hold
+        # 16-bit digits (< 2^24 mantissa), bf16 tables hold 8-bit half-digit
+        # rows (< 2^8, exact in bf16) recombined below.
+        rows = tbl_ref.shape[1]
+        # bf16 tables halve the table block's HBM->VMEM DMA per grid step;
+        # the matmul itself runs f32 (Mosaic rejects bf16 operands here both
+        # with an f32 acc — "Bad lhs type" — and a bf16 acc — "acc must be
+        # 32-bit"), so cast in-kernel: exact, entries < 2^8.
+        tb = tbl_ref[u].astype(jnp.float32)
         idx = idx_ref[0, u].reshape(1, s * lanes)
         oh = (lax.broadcasted_iota(jnp.int32, (NENT, s * lanes), 0) == idx).astype(jnp.float32)
         ent = lax.dot_general(
-            tbl_ref[u], oh, (((1,), (0,)), ((), ())),
+            tb, oh, (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
-        ).astype(jnp.int32).reshape(2 * d, s, lanes)
+        ).astype(jnp.int32).reshape(rows, s, lanes)
+        if rows == 4 * d:  # 8-bit half-digit tables: lo | hi << 8
+            ent = jnp.stack([ent[2 * k] | (ent[2 * k + 1] << 8) for k in range(2 * d)])
         return (
             VGFp([ent[k] for k in range(d)], fs),
             VGFp([ent[d + k] for k in range(d)], fs),
@@ -277,6 +302,85 @@ def _comb_kernel(
         xo = sx.select(meven, x1)
         yo = sy.select(meven, y1)
         zo = sz.select(meven, z1)
+        for k in range(d):
+            ax_ref[0, k] = xo.digs[k]
+            ay_ref[0, k] = yo.digs[k]
+            z_ref[0, k] = zo.digs[k]
+
+
+def _comb_kernel_pipe(
+    par_ref, idx0_ref, tbl0_ref, idxn_ref, tbln_ref, ax_ref, ay_ref, z_ref,
+    accx_ref, accy_ref, accz_ref, entx_ref, enty_ref,
+    *, curve: CurveSpec, npos: int, negbase
+):
+    """Software-pipelined serial comb: step j ADDS the entry gathered at
+    step j-1 (VMEM entry scratch) while GATHERING entry j+1 — the MXU
+    one-hot matmul and the VPU add chain are data-independent within a
+    step, so the matmul can overlap the add instead of serializing with it
+    (the plain serial kernel interleaves gather -> add per position; its
+    measured ~78% of the VPU ceiling is consistent with the skinny
+    (2D, NENT) x (NENT, tile) gather matmul costing ~2-4 us/position
+    serialized against ~6.4 us of add work).
+
+    Schedule: j == 0 seeds the accumulator from entry 0 (top folded,
+    pl.when branch) and the uniform body's add consumes uninitialized
+    scratch (discarded); steps 1..npos-1 add entries 1..npos-1; the next
+    gather's row index is clamped at npos-1 (one wasted gather at the last
+    step keeps the body uniform)."""
+    fs = curve.field
+    d = fs.ndigits
+    j = pl.program_id(1)
+    s, lanes = idxn_ref.shape[2], idxn_ref.shape[3]
+
+    def gather(idx_ref_, tbl_ref_):
+        idx = idx_ref_[0, 0].reshape(1, s * lanes)
+        oh = (lax.broadcasted_iota(jnp.int32, (NENT, s * lanes), 0) == idx).astype(jnp.float32)
+        ent = lax.dot_general(
+            tbl_ref_[0], oh, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        ).astype(jnp.int32).reshape(2 * d, s, lanes)
+        return (
+            VGFp([ent[k] for k in range(d)], fs),
+            VGFp([ent[d + k] for k in range(d)], fs),
+        )
+
+    # 1) previous entry out of scratch (registers) — the add's operand
+    exp = VGFp([entx_ref[k] for k in range(d)], fs)
+    eyp = VGFp([enty_ref[k] for k in range(d)], fs)
+    # 2) next entry: gather + store (independent of the add below)
+    exn, eyn = gather(idxn_ref, tbln_ref)
+    for k in range(d):
+        entx_ref[k] = exn.digs[k]
+        enty_ref[k] = eyn.digs[k]
+    # 3) accumulate the previous entry (garbage at j == 0, discarded)
+    x1 = VGFp([accx_ref[k] for k in range(d)], fs)
+    y1 = VGFp([accy_ref[k] for k in range(d)], fs)
+    z1 = VGFp([accz_ref[k] for k in range(d)], fs)
+    x3, y3, z3 = add_z2_1_any(x1, y1, z1, exp, eyp, curve)
+    for k in range(d):
+        accx_ref[k] = x3.digs[k]
+        accy_ref[k] = y3.digs[k]
+        accz_ref[k] = z3.digs[k]
+
+    @pl.when(j == 0)
+    def _seed():
+        ex0, ey0 = gather(idx0_ref, tbl0_ref)
+        one = ex0.const_like(1)
+        for k in range(d):
+            accx_ref[k] = ex0.digs[k]
+            accy_ref[k] = ey0.digs[k]
+            accz_ref[k] = one.digs[k]
+
+    @pl.when(j == npos - 1)
+    def _finish():
+        # parity fixup: even k computed (k+1)B; subtract B (curve_group.h:214-217)
+        sx, sy, sz = add_z2_1_any(
+            x3, y3, z3, x3.const_like(negbase[0]), x3.const_like(negbase[1]), curve
+        )
+        meven = 1 - par_ref[0]
+        xo = sx.select(meven, x3)
+        yo = sy.select(meven, y3)
+        zo = sz.select(meven, z3)
         for k in range(d):
             ax_ref[0, k] = xo.digs[k]
             ay_ref[0, k] = yo.digs[k]
@@ -397,7 +501,9 @@ def comb_mont_planes(
     """Fixed-base comb scalar mult on digit planes.
 
     scalars: (D, B) classical digit planes; tables_f32: (npos, 256, 2D) f32
-    internal-domain tables from base_tables (top folded into position 0);
+    internal-domain tables from base_tables (top folded into position 0) —
+    or the (npos, 256, 4D) bf16 half-digit split from _device_tables8
+    (same gather, half the VMEM traffic, still exact);
     negbase: classical affine int pair (static). Returns Jacobian (ax, ay, z)
     internal-domain planes. chain="serial" accumulates positions one mixed
     add at a time (grid axis, unroll positions per step, ``chains``
@@ -449,6 +555,39 @@ def comb_mont_planes(
             return a.transpose(1, 0, 2, 3).reshape(d, b)
         return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
+    if chain == "pipe":
+        assert tbl_t.shape[1] == 2 * d, "pipe chain takes f32 tables only (no ent_bits=8)"
+        spec_par = pl.BlockSpec((1, s, lanes), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        spec_idx0 = pl.BlockSpec(
+            (1, 1, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        spec_tbl0 = pl.BlockSpec(
+            (1, tbl_t.shape[1], NENT), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        nxt = lambda j: jnp.minimum(j + 1, npos - 1)  # noqa: E731
+        spec_idxn = pl.BlockSpec(
+            (1, 1, s, lanes), lambda i, j: (i, nxt(j), 0, 0), memory_space=pltpu.VMEM
+        )
+        spec_tbln = pl.BlockSpec(
+            (1, tbl_t.shape[1], NENT), lambda i, j: (nxt(j), 0, 0), memory_space=pltpu.VMEM
+        )
+        spec_out = pl.BlockSpec((1, d, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((d, s, lanes), jnp.int32) for _ in range(5)]
+        ax, ay, z = pl.pallas_call(
+            functools.partial(_comb_kernel_pipe, curve=curve, npos=npos, negbase=negbase),
+            grid=(nblk, npos),
+            in_specs=[spec_par, spec_idx0, spec_tbl0, spec_idxn, spec_tbln],
+            out_specs=(spec_out, spec_out, spec_out),
+            out_shape=(out_shape, out_shape, out_shape),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(par_blocks, idx_blocks, tbl_t, idx_blocks, tbl_t)
+
+        def from_blocks(a):
+            return a.transpose(1, 0, 2, 3).reshape(d, b)
+
+        return from_blocks(ax), from_blocks(ay), from_blocks(z)
+
     if chains > 1:
         # interleave positions so step j's block row (c*unroll + u) holds
         # chain c's position c*(npos//chains) + j*unroll + u
@@ -467,7 +606,9 @@ def comb_mont_planes(
     spec_idx = pl.BlockSpec(
         (1, g, s, lanes), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
-    spec_tbl = pl.BlockSpec((g, 2 * d, NENT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    spec_tbl = pl.BlockSpec(
+        (g, tbl_t.shape[1], NENT), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+    )
     spec_out = pl.BlockSpec((1, d, s, lanes), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((chains * d, s, lanes), jnp.int32) for _ in range(3)]
     ax, ay, z = pl.pallas_call(
@@ -533,7 +674,7 @@ def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, negbase):
 def scalar_mult_base(
     scalars, curve: CurveSpec, base: tuple[int, int] | None = None,
     tile: int = DEFAULT_TILE, use_kernel: bool = True, interpret: bool = False,
-    unroll: int = 1, chain: str = "serial", chains: int = 1,
+    unroll: int = 1, chain: str = "serial", chains: int = 1, ent_bits: int = 16,
 ):
     """k_i * B for a shared base point B (default: the curve generator).
 
@@ -545,7 +686,8 @@ def scalar_mult_base(
 
     fs = curve.field
     bx, by = base if base is not None else (curve.gx, curve.gy)
-    tables_f32, negbase = _device_tables(curve, int(bx), int(by))
+    dev_tables = _device_tables8 if ent_bits == 8 else _device_tables
+    tables_f32, negbase = dev_tables(curve, int(bx), int(by))
 
     if use_kernel:
         sc, b_true = parallel.pad_batch(scalars, tile)

@@ -5,7 +5,7 @@ timed loop (chained iterations + host-copy sync; see CLAUDE.md on honest
 tunnel timing). Compiles cache in .jax_cache, so re-runs are cheap.
 
 Usage: python scripts/comb_chain_ab.py [variant ...] where variant is
-`tree`, `serial:<unroll>`, or `chains:<n>` (n independent accumulator
+`tree`, `pipe`, `bf16`, `serial:<unroll>`, or `chains:<n>` (n independent accumulator
 chains, combined at the last grid step); default: tree serial:1.
 
 Timing uses the digest-sync methodology (see bench.py): the tunnel ships
@@ -53,15 +53,17 @@ def main(variants):
     tables_f32 = jnp.asarray(tables.astype(np.float32))
 
     for v in variants:
-        chain, unroll, chains = "serial", 1, 1
-        if v == "tree":
-            chain = "tree"
+        chain, unroll, chains, tbl = "serial", 1, 1, tables_f32
+        if v in ("tree", "pipe"):
+            chain = v
+        elif v == "bf16":
+            tbl, _ = comb._device_tables8(P256, P256.gx, P256.gy)
         elif v.startswith("chains:"):
             chains = int(v.split(":")[1])
         else:
             unroll = int(v.split(":")[1])
-        fn = jax.jit(lambda s: comb.comb_mont_planes(
-            s, tables_f32, P256, tuple(negbase), tile=tile, chain=chain,
+        fn = jax.jit(lambda s, tbl=tbl: comb.comb_mont_planes(
+            s, tbl, P256, tuple(negbase), tile=tile, chain=chain,
             unroll=unroll, chains=chains))
 
         def timed(s, fn=fn):

@@ -237,3 +237,21 @@ def test_comb_kernel_chains_interpret(rng):
     ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
     ks = ks * 16  # tile = 128 lanes
     _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, chains=2)
+
+def test_comb_kernel_bf16_tables_interpret(rng):
+    """ent_bits=8 path: tables split into 8-bit half-digit rows held in
+    bf16 (exact for values < 256); the in-kernel gather matmul runs in
+    bf16 and the kernel recombines lo | hi << 8. Bit-exact vs oracle."""
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
+    ks = ks * 16  # tile = 128 lanes
+    _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, unroll=2,
+           ent_bits=8)
+
+
+def test_comb_kernel_pipe_interpret(rng):
+    """Software-pipelined serial comb (gather j+1 overlaps add of entry j,
+    entry double-buffered in VMEM scratch) in interpret mode: covers the
+    seed-at-j==0 branch, the clamped last gather, and the fixup epilogue."""
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
+    ks = ks * 16  # tile = 128 lanes
+    _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, chain="pipe")
