@@ -35,7 +35,9 @@ PJRT; with it removed the end-to-end rates match the profiler's on-device
 kernel times (window/ladder AT their analytic formulation ceilings, comb at
 ~78% of the VPU ceiling). Verification still round-trips full outputs.
 
-Env knobs: BENCH_BATCH (131072), BENCH_ITERS (24), BENCH_TILE (2048),
+Env knobs: BENCH_BATCH (524288; measured knee of the dispatch-
+amortization curve — 131072/262144/524288/1048576 gave 6.94/7.13/7.24/
+7.28M, the device-side ceiling being 7.49M), BENCH_ITERS (24), BENCH_TILE (2048),
 BENCH_ALGO (comb | window | ladder | all), BENCH_VERIFY (all | comb | ... |
 none), BENCH_VERIFY_LANES (512), BENCH_CHAIN (serial | tree),
 BENCH_UNROLL (positions per comb grid step), BENCH_BUDGET_S (wall-clock
@@ -162,7 +164,7 @@ def main():
     from ecsimd_tpu.specs import P256
 
     ALL = ["comb", "window", "ladder"]
-    batch = int(os.environ.get("BENCH_BATCH", "131072"))
+    batch = int(os.environ.get("BENCH_BATCH", "524288"))
     iters = int(os.environ.get("BENCH_ITERS", "24"))
     tile = int(os.environ.get("BENCH_TILE", "2048"))
     algo = os.environ.get("BENCH_ALGO", "comb")
