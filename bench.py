@@ -220,13 +220,17 @@ def main():
     pt = JacobianPoint.from_affine(AffinePoint(jnp.asarray(xs), jnp.asarray(ys), P256))
     xm, ym = pt.x.planes, pt.y.planes
 
-    tables, negbase = comb.base_tables(P256, P256.gx, P256.gy)
-    tables_f32 = jnp.asarray(tables.astype(np.float32))
-    chain = os.environ.get("BENCH_CHAIN", "serial")  # serial | tree
+    chain = os.environ.get("BENCH_CHAIN", "serial")  # serial | tree | pipe
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
+    # serial chain gathers from int8 half-digit tables (native s8 MXU path,
+    # measured +11% over f32); pipe/tree only support f32 digit-value tables
+    if chain == "serial":
+        tables_dev, negbase = comb._device_tables8(P256, P256.gx, P256.gy)
+    else:
+        tables_dev, negbase = comb._device_tables(P256, P256.gx, P256.gy)
     raw = {
         "comb": lambda s: comb.comb_mont_planes(
-            s, tables_f32, P256, tuple(negbase), tile=tile,
+            s, tables_dev, P256, tuple(negbase), tile=tile,
             chain=chain, unroll=unroll,
         ),
         "window": lambda s: window.window_mont_planes(s, xm, ym, P256, tile=tile),

@@ -258,10 +258,15 @@ def scalar_mult_base_sharded(
 
     fs = curve.field
     bx, by = base if base is not None else (curve.gx, curve.gy)
-    # _device_tables caches the f32 device array per (curve, base): upload
-    # once, reuse across calls (a fresh jnp.asarray per call would re-upload
-    # ~1 MB through the tunnel every bench iteration)
-    tables_f32, negbase = _comb._device_tables(curve, int(bx), int(by))
+    # _device_tables* cache the device array per (curve, base): upload once,
+    # reuse across calls (a fresh jnp.asarray per call would re-upload ~1 MB
+    # through the tunnel every bench iteration). The serial kernel gathers
+    # from int8 half-digit tables (native s8 MXU path, measured +11% over
+    # f32); the XLA twin and pipe/tree kernels take f32 digit-value tables.
+    if use_kernel and chain == "serial":
+        tables_f32, negbase = _comb._device_tables8(curve, int(bx), int(by))
+    else:
+        tables_f32, negbase = _comb._device_tables(curve, int(bx), int(by))
     t = _comb.DEFAULT_TILE if tile is None else tile
     multiple = mesh.devices.size * (t if use_kernel else 1)
     sc, b_true = pad_batch(scalars, multiple)

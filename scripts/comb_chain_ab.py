@@ -5,7 +5,7 @@ timed loop (chained iterations + host-copy sync; see CLAUDE.md on honest
 tunnel timing). Compiles cache in .jax_cache, so re-runs are cheap.
 
 Usage: python scripts/comb_chain_ab.py [variant ...] where variant is
-`tree`, `pipe`, `bf16`, `serial:<unroll>`, or `chains:<n>` (n independent accumulator
+`tree`, `pipe`, `bf16`, `s8`, `serial:<unroll>`, or `chains:<n>` (n independent accumulator
 chains, combined at the last grid step); default: tree serial:1.
 
 Timing uses the digest-sync methodology (see bench.py): the tunnel ships
@@ -57,7 +57,9 @@ def main(variants):
         if v in ("tree", "pipe"):
             chain = v
         elif v == "bf16":
-            tbl, _ = comb._device_tables8(P256, P256.gx, P256.gy)
+            tbl, _ = comb._device_tables8(P256, P256.gx, P256.gy, jnp.bfloat16)
+        elif v == "s8":
+            tbl, _ = comb._device_tables8(P256, P256.gx, P256.gy)  # int8 default
         elif v.startswith("chains:"):
             chains = int(v.split(":")[1])
         else:

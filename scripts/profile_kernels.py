@@ -87,7 +87,7 @@ def main():
     ys = np.repeat(np.asarray(convert.ints_to_planes([P256.gy], d)), batch, axis=1)
     pt = JacobianPoint.from_affine(AffinePoint(jnp.asarray(xs), jnp.asarray(ys), P256))
     xm, ym = pt.x.planes, pt.y.planes
-    tables_f32, negbase = comb._device_tables(P256, P256.gx, P256.gy)
+    tables_f32, negbase = comb._device_tables8(P256, P256.gx, P256.gy)  # int8 default
 
     fns = {
         "comb": (jax.jit(lambda s: comb.comb_mont_planes(

@@ -238,14 +238,35 @@ def test_comb_kernel_chains_interpret(rng):
     ks = ks * 16  # tile = 128 lanes
     _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, chains=2)
 
-def test_comb_kernel_bf16_tables_interpret(rng):
-    """ent_bits=8 path: tables split into 8-bit half-digit rows held in
-    bf16 (exact for values < 256); the in-kernel gather matmul runs in
-    bf16 and the kernel recombines lo | hi << 8. Bit-exact vs oracle."""
+def test_comb_kernel_ent8_default_interpret(rng):
+    """ent_bits=8 (the scalar_mult_base default): tables split into 8-bit
+    half-digit rows held in int8 (biased by -128), gathered on the s8 MXU
+    path, recombined lo | hi << 8 in-kernel. Bit-exact vs oracle."""
     ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
     ks = ks * 16  # tile = 128 lanes
     _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, unroll=2,
            ent_bits=8)
+
+
+def test_comb_kernel_bf16_tables_interpret(rng):
+    """bf16 half-digit tables (the measured-slower alternative dtype kept
+    for the A/B script): in-kernel f32 cast + f32 gather. Bit-exact."""
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
+    ks = ks * 16  # tile = 128 lanes
+    tbl, negbase = comb._device_tables8(TOY64, TOY64.gx, TOY64.gy, jnp.bfloat16)
+    d = TOY64.field.ndigits
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    ax, ay, z = comb.comb_mont_planes(
+        scalars, tbl, TOY64, tuple(negbase), tile=128, interpret=True, unroll=2)
+    p = TOY64.field.p
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(ax)),
+                       convert.planes_to_ints(np.asarray(ay)),
+                       convert.planes_to_ints(np.asarray(z))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    want = [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
+    assert got == want
 
 
 def test_comb_kernel_pipe_interpret(rng):
@@ -255,3 +276,25 @@ def test_comb_kernel_pipe_interpret(rng):
     ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
     ks = ks * 16  # tile = 128 lanes
     _check(TOY64, ks, tile=128, use_kernel=True, interpret=True, chain="pipe")
+
+
+def test_comb_kernel_s8_tables_interpret(rng):
+    """int8 half-digit tables (biased by -128 on the host, re-biased after
+    the s8 x s8 -> s32 gather matmul) — the MXU's native int8 path.
+    Bit-exact vs oracle."""
+    ks = [1, 2, 5, 6, 255, 256, 12345, rng.randrange(1, TOY64.order)]
+    ks = ks * 16  # tile = 128 lanes
+    tbl, negbase = comb._device_tables8(TOY64, TOY64.gx, TOY64.gy, jnp.int8)
+    d = TOY64.field.ndigits
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    ax, ay, z = comb.comb_mont_planes(
+        scalars, tbl, TOY64, tuple(negbase), tile=128, interpret=True, unroll=2)
+    got = []
+    p = TOY64.field.p
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(ax)),
+                       convert.planes_to_ints(np.asarray(ay)),
+                       convert.planes_to_ints(np.asarray(z))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    want = [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
+    assert got == want

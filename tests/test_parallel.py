@@ -152,6 +152,30 @@ def test_comb_sharded_xla_toy(mesh, rng):
     assert got == [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
 
 
+def test_comb_sharded_kernel_toy(mesh, rng):
+    """Mesh-sharded fixed-base comb through the Pallas kernel per shard
+    (interpret mode) — covers the int8 half-digit default tables flowing
+    through the replicated-table shard_map spec."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.oracle import coz
+    from tests.toy import TOY64
+
+    d = TOY64.field.ndigits
+    ks = [1, 2, 5, 6, 255, 256] + [rng.randrange(1, TOY64.order) for _ in range(10)]
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    res = parallel.scalar_mult_base_sharded(
+        scalars, TOY64, mesh, use_kernel=True, tile=4, interpret=True)
+    p = TOY64.field.p
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(res.x.planes)),
+                       convert.planes_to_ints(np.asarray(res.y.planes)),
+                       convert.planes_to_ints(np.asarray(res.z.planes))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    assert got == [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
+
+
 def test_sharded_fn_cache(mesh):
     """Repeated sharded calls reuse one compiled closure (no re-jit per call
     — the scaling bench's hot loop)."""
