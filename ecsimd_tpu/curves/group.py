@@ -125,6 +125,71 @@ def tplu(x1: GFp, y1: GFp, curve: CurveSpec):
     return zaddu(xu, yu, x2p, y2p, z)
 
 
+def jac_dbl(x1: GFp, y1: GFp, z1: GFp, curve: CurveSpec):
+    """General-a Jacobian doubling (dbl-2007-bl shape; XLA-dialect twin of
+    oracle/window._jac_dbl). No reference counterpart — the reference's co-Z
+    ladder never doubles a free-standing Jacobian point; needed here by the
+    complete add. Doubling of infinity stays at infinity (z3 carries a
+    factor of z1 through (y1+z1)^2 - yy - zz = 2*y1*z1)."""
+    a, _ = _curve_consts(curve, x1)
+    xx = x1.sqr()
+    yy = y1.sqr()
+    yyyy = yy.sqr()
+    zz = z1.sqr()
+    s = ((x1 + yy).sqr() - xx - yyyy).double()
+    m = xx + xx.double() + a * zz.sqr()
+    x3 = m.sqr() - s.double()
+    y3 = m * (s - x3) - yyyy.shift_left(3)
+    z3 = (y1 + z1).sqr() - yy - zz
+    return x3, y3, z3
+
+
+def jac_add_complete(p1: JacobianPoint, p2: JacobianPoint) -> JacobianPoint:
+    """Exception-free general Jacobian add, XLA dialect (GFp twin of
+    kernels/coz.add_complete_any — same masked completion):
+
+      h == 0, r == 0  (P1 == P2)   -> doubling of P1,
+      h == 0, r != 0  (P1 == -P2)  -> infinity (Z == 0),
+      Z1 == 0         (P1 == inf)  -> P2,
+      Z2 == 0         (P2 == inf)  -> P1,
+
+    uniform control flow throughout (per-lane selects). Used by the ECDSA
+    verification epilogue (u1*G + u2*Q), where P1 == +-P2 and either operand
+    at infinity are adversarially reachable."""
+    curve = p1.curve
+    x1, y1, z1 = p1.x, p1.y, p1.z
+    x2, y2, z2 = p2.x, p2.y, p2.z
+    # add-2007-bl on GFp (mirrors kernels/coz.jac_add, unfused XLA arithmetic)
+    z1z1 = z1.sqr()
+    z2z2 = z2.sqr()
+    u1 = x1 * z2z2
+    u2 = x2 * z1z1
+    s1 = y1 * z2z2 * z2
+    s2 = y2 * z1z1 * z1
+    h = u2 - u1
+    r = s2 - s1
+    hh = h.sqr()
+    hhh = h * hh
+    v = u1 * hh
+    x3 = r.sqr() - hhh - v.double()
+    y3 = r * (v - x3) - s1 * hhh
+    z3 = z1 * z2 * h
+    hz = h.is_zero()
+    rz = r.is_zero()
+    inf1 = z1.is_zero()
+    inf2 = z2.is_zero()
+    m_same = hz & rz & (1 - inf1) & (1 - inf2)
+    m_opp = hz & (1 - rz) & (1 - inf1) & (1 - inf2)
+    xd, yd, zd = jac_dbl(x1, y1, z1, curve)
+    x3 = xd.select(m_same, x3)
+    y3 = yd.select(m_same, y3)
+    z3 = zd.select(m_same, z3.select(1 - m_opp, z3.const_like(0)))
+    x3 = x2.select(inf1, x1.select(inf2, x3))
+    y3 = y2.select(inf1, y1.select(inf2, y3))
+    z3 = z2.select(inf1, z1.select(inf2, z3))
+    return JacobianPoint(x3, y3, z3, curve)
+
+
 # --- point-level wrappers (for tests / API parity) -------------------------------
 
 
