@@ -112,17 +112,19 @@ def scalar_mult_fast(
 
 def scalar_mult_base(scalars, curve: CurveSpec = P256,
                      base: tuple[int, int] | None = None,
-                     tile: int | None = None) -> AffinePoint:
+                     tile: int | None = None, strict: bool = False) -> AffinePoint:
     """Fixed-base fast path: k_i * B for a base shared by every lane (default
     the curve generator) through the comb Pallas kernel — the TPU-native
     answer to the reference's headline workload (benchs/curve_group.cpp:30-34
     multiplies G). ~4x the per-lane window kernel; tables are host-built and
     cached per (curve, base). Same degenerate-scalar caveat as the window
-    path (kernels/comb.py docstring)."""
+    path (kernels/comb.py docstring); ``strict=True`` removes it with
+    complete accumulation adds — total domain [1, order) at ~2x the chain's
+    field ops (still far ahead of the window path)."""
     from ecsimd_tpu.kernels import comb
 
     kwargs = {} if tile is None else {"tile": tile}
-    res = comb.scalar_mult_base(scalars, curve, base=base, **kwargs)
+    res = comb.scalar_mult_base(scalars, curve, base=base, strict=strict, **kwargs)
     out = res.to_affine()
     return AffinePoint(out.x, out.y, curve)
 

@@ -99,9 +99,6 @@ def _on_curve(qx: GFp, qy: GFp, curve: CurveSpec):
     return lhs == rhs
 
 
-@functools.partial(
-    jax.jit, static_argnames=("curve", "tile", "interpret", "allow_fast_paths")
-)
 def verify_planes(
     z, r, s, qx, qy, curve: CurveSpec,
     tile: int | None = None, interpret: bool = False,
@@ -110,11 +107,23 @@ def verify_planes(
     """Batched ECDSA verification on classical digit planes.
 
     z, r, s: (D, B) classical planes (z any 256-bit hash int; r, s the
-    signature); qx, qy: (D, B) classical affine public-key planes. Returns a
+    signature); qx, qy: (D, B) classical affine planes. Returns a
     (B,) int32 validity mask. See module docstring for the path-selection
-    security rationale.
+    security rationale. interpret=True (CPU testing) dispatches eagerly —
+    XLA:CPU cannot compile the traced interpret-kernel graph shape in
+    reasonable time (same pathology comb.scalar_mult_base documents).
     """
-    from ecsimd_tpu.kernels import comb, ladder, window
+    fn = _verify_impl if interpret else _verify_jit
+    return fn(z, r, s, qx, qy, curve, tile=tile, interpret=interpret,
+              allow_fast_paths=allow_fast_paths)
+
+
+def _verify_impl(
+    z, r, s, qx, qy, curve: CurveSpec,
+    tile: int | None = None, interpret: bool = False,
+    allow_fast_paths: bool = False,
+):
+    from ecsimd_tpu.kernels import comb, window
 
     fs = curve.field
     fs_n = order_field(curve)
@@ -159,13 +168,13 @@ def verify_planes(
             ),
             curve,
         )
-        kern = functools.partial(window.window_mont_planes, strict=True)
-        s1 = ladder._run_padded(kern, u1s, JacobianPoint.from_affine(gb), t, interpret)
+        s1 = window.scalar_mult(
+            u1s, JacobianPoint.from_affine(gb), tile=t, interpret=interpret,
+            strict=True)
     else:
         s1 = comb.scalar_mult_base(u1s, curve, tile=t, interpret=interpret)
-    kern2 = functools.partial(window.window_mont_planes, strict=strict)
     q_jac = JacobianPoint.from_affine(AffinePoint(qx, qy, curve))
-    s2 = ladder._run_padded(kern2, u2, q_jac, t, interpret)
+    s2 = window.scalar_mult(u2, q_jac, tile=t, interpret=interpret, strict=strict)
 
     # u1 == 0 lanes: replace S1 with infinity so R = S2 (complete add)
     z1 = s1.z.select(1 - u1_zero, s1.z.const_like(0))
@@ -184,9 +193,24 @@ def verify_planes(
     return ok & (m1 | m2)
 
 
-@functools.partial(jax.jit, static_argnames=("curve", "tile", "interpret"))
+_verify_jit = functools.partial(
+    jax.jit, static_argnames=("curve", "tile", "interpret", "allow_fast_paths")
+)(_verify_impl)
+
+
 def sign_planes(
-    z, d, k, curve: CurveSpec, tile: int | None = None, interpret: bool = False
+    z, d, k, curve: CurveSpec, tile: int | None = None, interpret: bool = False,
+    strict: bool = False,
+):
+    """Batched ECDSA signing on classical digit planes; interpret=True
+    dispatches eagerly (see verify_planes)."""
+    fn = _sign_impl if interpret else _sign_jit
+    return fn(z, d, k, curve, tile=tile, interpret=interpret, strict=strict)
+
+
+def _sign_impl(
+    z, d, k, curve: CurveSpec, tile: int | None = None, interpret: bool = False,
+    strict: bool = False,
 ):
     """Batched ECDSA signing on classical digit planes.
 
@@ -195,7 +219,10 @@ def sign_planes(
     for the os.urandom wrapper). Returns (r, s, ok) planes/mask; ok == 0
     lanes (r or s == 0, probability ~2^-bits, or out-of-range inputs) must
     be retried with a fresh nonce. Uniform control flow; k and d never
-    branch."""
+    branch. ``strict=True`` runs the complete-add comb chain: removes the
+    measure-zero comb degenerate class (~2^-240 per signature for P-256
+    with uniform nonces — relevant only for toy-scale fields or
+    defense-in-depth) at ~2x the k*G cost."""
     from ecsimd_tpu.kernels import comb
 
     fs = curve.field
@@ -212,7 +239,7 @@ def sign_planes(
     # check above already flags them)
     ks = bn.select(bn.is_zero(k), jnp.zeros_like(k).at[0].set(1), k)
 
-    rp = comb.scalar_mult_base(ks, curve, tile=t, interpret=interpret)
+    rp = comb.scalar_mult_base(ks, curve, tile=t, interpret=interpret, strict=strict)
     # affine x via batched Fermat inversion in GF(p); x mod n by cond-sub
     zinv = rp.z.inverse()
     x_aff = (rp.x * zinv.sqr()).to_classical()
@@ -229,6 +256,11 @@ def sign_planes(
     s = mont.mont_to_classical(sm, fs_n)
     ok = ok & (1 - bn.is_zero(s))
     return r, s, ok
+
+
+_sign_jit = functools.partial(
+    jax.jit, static_argnames=("curve", "tile", "interpret", "strict")
+)(_sign_impl)
 
 
 # --- host-friendly integer interfaces ----------------------------------------

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ecsimd_tpu.field import GFp
-from ecsimd_tpu.kernels.coz import add_any, add_z2_1_any, aff_add_any
+from ecsimd_tpu.kernels.coz import add_any, add_complete_any, add_z2_1_any, aff_add_any
 from ecsimd_tpu.kernels.digits import VGFp
 from ecsimd_tpu.specs import DIGIT_BITS, CurveSpec, int_to_digits
 
@@ -212,7 +212,8 @@ def gather_entries(tables_f32, idx):
 
 def _comb_kernel(
     par_ref, idx_ref, tbl_ref, ax_ref, ay_ref, z_ref, accx_ref, accy_ref, accz_ref,
-    *, curve: CurveSpec, npos: int, negbase, unroll: int, chains: int = 1
+    *, curve: CurveSpec, npos: int, negbase, unroll: int, chains: int = 1,
+    strict: bool = False,
 ):
     """Grid (nblk, npos // (unroll * chains)): each step gathers
     ``unroll * chains`` positions and advances ``chains`` INDEPENDENT
@@ -284,7 +285,16 @@ def _comb_kernel(
         z1 = VGFp([accz_ref[c * d + k] for k in range(d)], fs)
         for u in range(unroll):
             ex, ey = gather(c * unroll + u)
-            x3, y3, z3 = add_z2_1_any(x1, y1, z1, ex, ey, curve)
+            if strict:
+                # complete accumulation add: totalizes the chain over the
+                # prefix-sum degenerate classes (acc == +-entry, acc == inf
+                # from an earlier collision) at ~1 extra doubling + selects
+                # per position — scalar domain [1, order) like the strict
+                # window path (kernels/window.py strict=True)
+                x3, y3, z3 = add_complete_any(
+                    x1, y1, z1, ex, ey, ex.const_like(1), curve)
+            else:
+                x3, y3, z3 = add_z2_1_any(x1, y1, z1, ex, ey, curve)
             if u == 0:
                 x1 = ex.select(first, x3)
                 y1 = ey.select(first, y3)
@@ -305,9 +315,15 @@ def _comb_kernel(
             x1, y1, z1 = add_any(x1, y1, z1, *accs[c], curve)
         # ... then the parity fixup: even k computed (k+1)B; subtract B
         # (curve_group.h:214-217)
-        sx, sy, sz = add_z2_1_any(
-            x1, y1, z1, x1.const_like(negbase[0]), x1.const_like(negbase[1]), curve
-        )
+        nbx = x1.const_like(negbase[0])
+        nby = x1.const_like(negbase[1])
+        if strict:
+            # completes k = order - 1 (even): the chain lands on (k+1)B =
+            # infinity and the fixup resolves inf + (-B) = -B — one scalar
+            # MORE than the plain ladder's domain, as strict window
+            sx, sy, sz = add_complete_any(x1, y1, z1, nbx, nby, nbx.const_like(1), curve)
+        else:
+            sx, sy, sz = add_z2_1_any(x1, y1, z1, nbx, nby, curve)
         meven = 1 - par_ref[0]
         xo = sx.select(meven, x1)
         yo = sy.select(meven, y1)
@@ -501,12 +517,14 @@ def comb_tree_host_planes(scalars, tables_f32, curve: CurveSpec, negbase):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("curve", "negbase", "tile", "interpret", "unroll", "chain", "chains"),
+    static_argnames=(
+        "curve", "negbase", "tile", "interpret", "unroll", "chain", "chains", "strict",
+    ),
 )
 def comb_mont_planes(
     scalars, tables_f32, curve: CurveSpec, negbase,
     tile: int = DEFAULT_TILE, interpret: bool = False, unroll: int = 1,
-    chain: str = "serial", chains: int = 1,
+    chain: str = "serial", chains: int = 1, strict: bool = False,
 ):
     """Fixed-base comb scalar mult on digit planes.
 
@@ -530,6 +548,9 @@ def comb_mont_planes(
     assert b % tile == 0, f"batch {b} not a multiple of tile {tile}"
     assert npos % (unroll * chains) == 0, (
         f"npos {npos} not a multiple of unroll*chains {unroll * chains}")
+    assert not (strict and (chain != "serial" or chains != 1)), (
+        "strict comb: serial single-chain only (tree/pipe/multi-chain keep "
+        "the documented measure-zero degenerate class)")
     lanes = min(LANES, tile)
     s = tile // lanes
     assert s * lanes == tile, f"tile {tile} not a multiple of {lanes}"
@@ -626,7 +647,7 @@ def comb_mont_planes(
     ax, ay, z = pl.pallas_call(
         functools.partial(
             _comb_kernel, curve=curve, npos=npos, negbase=negbase, unroll=unroll,
-            chains=chains,
+            chains=chains, strict=strict,
         ),
         grid=(nblk, npos // g),
         in_specs=[spec_par, spec_idx, spec_tbl],
@@ -642,11 +663,14 @@ def comb_mont_planes(
     return from_blocks(ax), from_blocks(ay), from_blocks(z)
 
 
-@functools.partial(jax.jit, static_argnames=("curve", "negbase"))
-def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, negbase):
+@functools.partial(jax.jit, static_argnames=("curve", "negbase", "strict"))
+def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, negbase, strict: bool = False):
     """XLA-path twin of comb_mont_planes (CPU-testable; the comparison axis
-    of benchs/ops_cbn.cpp recast: same algorithm, portable formulation)."""
+    of benchs/ops_cbn.cpp recast: same algorithm, portable formulation).
+    ``strict=True`` accumulates with the complete add (group.jac_add_complete)
+    — the twin of the kernel's strict chain, same [1, order) domain."""
     from ecsimd_tpu.curves import group
+    from ecsimd_tpu.curves.point import JacobianPoint
 
     fs = curve.field
     d = fs.ndigits
@@ -663,19 +687,31 @@ def comb_xla_planes(scalars, tables_f32, curve: CurveSpec, negbase):
     def body(i, acc):
         ax, ay, az = acc
         e = lax.dynamic_index_in_dim(ent, i, axis=0, keepdims=False)
-        x3, y3, z3 = group.add_z2_1(
-            GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(az, fs),
-            GFp.from_mont(e[:d], fs), GFp.from_mont(e[d:], fs),
-        )
+        a1 = (GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(az, fs))
+        ex, ey = GFp.from_mont(e[:d], fs), GFp.from_mont(e[d:], fs)
+        if strict:
+            res = group.jac_add_complete(
+                JacobianPoint(*a1, curve),
+                JacobianPoint(ex, ey, GFp.one(fs, like), curve),
+            )
+            x3, y3, z3 = res.x, res.y, res.z
+        else:
+            x3, y3, z3 = group.add_z2_1(*a1, ex, ey)
         return x3.planes, y3.planes, z3.planes
 
     planes = lax.fori_loop(1, npos, body, (accx.planes, accy.planes, accz.planes))
     accx, accy, accz = (GFp.from_mont(p_, fs) for p_ in planes)
 
-    sx, sy, sz = group.add_z2_1(
-        accx, accy, accz,
-        GFp.constant(negbase[0], fs, like), GFp.constant(negbase[1], fs, like),
-    )
+    nbx = GFp.constant(negbase[0], fs, like)
+    nby = GFp.constant(negbase[1], fs, like)
+    if strict:
+        res = group.jac_add_complete(
+            JacobianPoint(accx, accy, accz, curve),
+            JacobianPoint(nbx, nby, GFp.one(fs, like), curve),
+        )
+        sx, sy, sz = res.x, res.y, res.z
+    else:
+        sx, sy, sz = group.add_z2_1(accx, accy, accz, nbx, nby)
     meven = 1 - (scalars[0] & 1)
     accx = sx.select(meven, accx)
     accy = sy.select(meven, accy)
@@ -687,6 +723,7 @@ def scalar_mult_base(
     scalars, curve: CurveSpec, base: tuple[int, int] | None = None,
     tile: int = DEFAULT_TILE, use_kernel: bool = True, interpret: bool = False,
     unroll: int = 1, chain: str = "serial", chains: int = 1, ent_bits: int = 8,
+    strict: bool = False,
 ):
     """k_i * B for a shared base point B (default: the curve generator).
 
@@ -695,7 +732,10 @@ def scalar_mult_base(
     (default) gathers from int8 half-digit tables on the MXU's native
     s8xs8->s32 path — measured +11% over the f32 gather (ent_bits=16);
     only the serial-chain kernel supports it (pipe/tree and the XLA twin
-    take f32 digit-value tables).
+    take f32 digit-value tables). ``strict=True`` (serial chain / XLA twin
+    only) uses complete accumulation adds: total scalar domain [1, order)
+    even for adversarially chosen scalars, at ~1 extra doubling per
+    position (~2x the plain chain's field ops — still ~4x the window path).
     """
     from ecsimd_tpu import parallel
     from ecsimd_tpu.curves.point import JacobianPoint
@@ -715,10 +755,12 @@ def scalar_mult_base(
         fn = comb_mont_planes.__wrapped__ if interpret else comb_mont_planes
         ax, ay, z = fn(
             sc, tables_f32, curve, tuple(negbase), tile=tile, interpret=interpret,
-            unroll=unroll, chain=chain, chains=chains,
+            unroll=unroll, chain=chain, chains=chains, strict=strict,
         )
         ax, ay, z = ax[:, :b_true], ay[:, :b_true], z[:, :b_true]
     else:
-        twin = comb_tree_host_planes if chain == "tree" else comb_xla_planes
+        assert not (strict and chain == "tree"), "strict comb: serial/XLA only"
+        twin = comb_tree_host_planes if chain == "tree" else functools.partial(
+            comb_xla_planes, strict=strict)
         ax, ay, z = twin(scalars, tables_f32, curve, tuple(negbase))
     return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)

@@ -197,16 +197,30 @@ def ladder_mont_planes(
 
 def _run_padded(kernel_planes, scalars, pt, tile: int, interpret: bool):
     """Pad the batch to a tile multiple (lane-padding with valid lane-0 copies,
-    SURVEY.md §7 batch-edge hazard), run, slice back, rewrap as a point."""
+    SURVEY.md §7 batch-edge hazard), run, slice back, rewrap as a point.
+
+    interpret mode dispatches the unjitted kernel eagerly — jitting a traced
+    interpret-mode pallas_call hands XLA:CPU a program shape it cannot
+    compile in reasonable time (same pathology comb.scalar_mult_base
+    documents); eager dispatch runs it in seconds."""
+    import functools
+
     from ecsimd_tpu import parallel
     from ecsimd_tpu.curves.point import JacobianPoint
+
+    fn = kernel_planes
+    if interpret:
+        if isinstance(fn, functools.partial):
+            fn = functools.partial(fn.func.__wrapped__, *fn.args, **fn.keywords)
+        else:
+            fn = getattr(fn, "__wrapped__", fn)
 
     curve = pt.curve
     fs = curve.field
     s, b = parallel.pad_batch(scalars, tile)
     xm, _ = parallel.pad_batch(pt.x.planes, tile)
     ym, _ = parallel.pad_batch(pt.y.planes, tile)
-    ax, ay, z = kernel_planes(s, xm, ym, curve, tile=tile, interpret=interpret)
+    ax, ay, z = fn(s, xm, ym, curve, tile=tile, interpret=interpret)
     ax, ay, z = ax[:, :b], ay[:, :b], z[:, :b]
     return JacobianPoint(GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
 

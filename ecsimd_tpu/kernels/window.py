@@ -231,9 +231,30 @@ def window_xla_planes(scalars, xm, ym, curve: CurveSpec, strict: bool = False):
     return jnp.stack(accx.digs), jnp.stack(accy.digs), jnp.stack(accz.digs)
 
 
-def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False):
+def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False,
+                strict: bool = False):
     """Windowed drop-in for kernels.ladder.scalar_mult (fast path).
-    Batch is auto-padded to a tile multiple."""
+    Batch is auto-padded to a tile multiple.
+
+    interpret=True (CPU testing) routes to the eager XLA twin
+    window_xla_planes — the SAME compute graph — because the interpret-mode
+    window kernel is impractically slow on CPU both eagerly (~10 min for 16
+    toy lanes: ~80 fused formula instantiations dispatched op-by-op through
+    the interpreter) and jitted (XLA:CPU needs ~10 min to compile the traced
+    interpret graph). The Pallas kernel itself is covered on hardware
+    (bench verification + scripts/check_tpu_kats.py)."""
+    import functools
+
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.field import GFp
     from ecsimd_tpu.kernels.ladder import _run_padded
 
-    return _run_padded(window_mont_planes, scalars, pt, tile, interpret)
+    if interpret:
+        curve = pt.curve
+        fs = curve.field
+        ax, ay, z = window_xla_planes(
+            scalars, pt.x.planes, pt.y.planes, curve, strict=strict)
+        return JacobianPoint(
+            GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
+    kern = functools.partial(window_mont_planes, strict=strict) if strict else window_mont_planes
+    return _run_padded(kern, scalars, pt, tile, False)

@@ -208,5 +208,54 @@ SECP256K1 = CurveSpec(
     order=0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141,
 )
 
-CURVES = {c.name: c for c in (P256, P384, SECP256K1)}
-FIELDS = {f.name: f for f in (P256_FIELD, SECP256K1_FIELD, P384_FIELD)}
+# NIST P-521 — beyond the reference. p = 2^521 - 1 (Mersenne) stored in 33
+# digits (nbits = 528). The Solinas planner requires word-aligned +-1/+-2
+# folds (2^528 mod p = 2^7 doesn't qualify), so the field runs on the
+# generic CIOS path; a Crandall-prime (2^k - c) fast fold is a known
+# possible extension. a = -3 and p = 3 (mod 4), so every fast path
+# (window/comb kernels, sqrt decompression) accepts it.
+P521_FIELD = FieldSpec(
+    name="p521",
+    p=(1 << 521) - 1,
+    nbits=528,
+    reduction="montgomery",
+)
+
+P521 = CurveSpec(
+    name="nist-p521",
+    field=P521_FIELD,
+    a=P521_FIELD.p - 3,
+    b=0x0051953EB9618E1C9A1F929A21A0B68540EEA2DA725B99B315F3B8B489918EF109E156193951EC7E937B1652C0BD3BB1BF073573DF883D2C34F1EF451FD46B503F00,
+    gx=0x00C6858E06B70404E9CD9E3ECB662395B4429C648139053FB521F828AF606B4D3DBAA14B5E77EFE75928FE1DC127A2FFA8DE3348B3C1856A429BF97E7E31C2E5BD66,
+    gy=0x011839296A789A3BC0045C8A5FB42C7D1BD998F54449579B446817AFBD17273E662C97EE72995EF42640C550B9013FAD0761353C7086A272C24088BE94769FD16650,
+    order=0x01FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFA51868783BF2F966B7FCC0148F709A5D03BB5C9B8899C47AEBB6FB71E91386409,
+)
+
+# Wei25519 — Curve25519 (RFC 7748) in short-Weierstrass form via the standard
+# Montgomery->Weierstrass map x = u + A/3, y = v (A = 486662, p = 2^255 - 19);
+# constants derived and verified at build time (order * G = infinity against
+# an independent naive Jacobian implementation). The spec's order is the odd
+# prime-order subgroup order l = 2^252 + 27742...493 (the full group has
+# cofactor 8; the generator below generates the order-l subgroup, satisfying
+# the framework's odd-order requirement). p = 1 (mod 4): sqrt/decompression
+# is unavailable (FieldSpec.sqrt_exponent asserts), scalar mult paths all
+# work (generic-a group law + CIOS field, like secp256k1).
+W25519_FIELD = FieldSpec(
+    name="w25519",
+    p=(1 << 255) - 19,
+    nbits=256,
+    reduction="montgomery",
+)
+
+WEI25519 = CurveSpec(
+    name="wei25519",
+    field=W25519_FIELD,
+    a=0x2AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA984914A144,
+    b=0x7B425ED097B425ED097B425ED097B425ED097B425ED097B4260B5E9C7710C864,
+    gx=0x2AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAD245A,
+    gy=0x20AE19A1B8A086B4E01EDD2C7748D14C923D4D7E6D7C61B229E9C5A27ECED3D9,
+    order=0x1000000000000000000000000000000014DEF9DEA2F79CD65812631A5CF5D3ED,
+)
+
+CURVES = {c.name: c for c in (P256, P384, P521, SECP256K1, WEI25519)}
+FIELDS = {f.name: f for f in (P256_FIELD, SECP256K1_FIELD, P384_FIELD, P521_FIELD, W25519_FIELD)}

@@ -22,7 +22,7 @@ from ecsimd_tpu import convert, ecdsa
 from ecsimd_tpu.oracle import coz
 from ecsimd_tpu.oracle import ecdsa as oecdsa
 from ecsimd_tpu.specs import P256
-from tests.toy import TOY64
+from tests.toy import TOY64E
 
 
 def _sign_ok(z, d, curve, rng):
@@ -35,7 +35,7 @@ def _sign_ok(z, d, curve, rng):
 
 
 def test_oracle_roundtrip(rng):
-    for curve in (TOY64, P256):
+    for curve in (TOY64E, P256):
         for _ in range(4):
             d = rng.randrange(1, curve.order)
             qx, qy = oecdsa.keypair(d, curve)
@@ -53,21 +53,21 @@ def test_oracle_roundtrip(rng):
 
 
 def test_oracle_range_rejection(rng):
-    d = rng.randrange(1, TOY64.order)
-    qx, qy = oecdsa.keypair(d, TOY64)
+    d = rng.randrange(1, TOY64E.order)
+    qx, qy = oecdsa.keypair(d, TOY64E)
     z = rng.randrange(0, 1 << 64)
-    r, s = _sign_ok(z, d, TOY64, rng)
-    n = TOY64.order
+    r, s = _sign_ok(z, d, TOY64E, rng)
+    n = TOY64E.order
     for bad_r, bad_s in ((0, s), (n, s), (r, 0), (r, n)):
-        assert not oecdsa.verify(z, bad_r, bad_s, qx, qy, TOY64)
+        assert not oecdsa.verify(z, bad_r, bad_s, qx, qy, TOY64E)
 
 
 def test_oracle_zero_hash(rng):
     """e == 0 mod n (u1 == 0): R = u2*Q alone — a valid signature class."""
-    d = rng.randrange(1, TOY64.order)
-    qx, qy = oecdsa.keypair(d, TOY64)
-    r, s = _sign_ok(0, d, TOY64, rng)
-    assert oecdsa.verify(0, r, s, qx, qy, TOY64)
+    d = rng.randrange(1, TOY64E.order)
+    qx, qy = oecdsa.keypair(d, TOY64E)
+    r, s = _sign_ok(0, d, TOY64E, rng)
+    assert oecdsa.verify(0, r, s, qx, qy, TOY64E)
 
 
 def test_differential_vs_cryptography(rng):
@@ -110,7 +110,7 @@ def _planes(vals, curve):
 
 def _toy_batch(rng, lanes=16):
     """Per-lane-distinct keys/hashes/signatures on the toy curve."""
-    curve = TOY64
+    curve = TOY64E
     ds = [rng.randrange(1, curve.order) for _ in range(lanes)]
     qs = [oecdsa.keypair(d, curve) for d in ds]
     zs = [rng.randrange(0, 1 << 64) for _ in range(lanes)]
@@ -123,7 +123,7 @@ def _toy_batch(rng, lanes=16):
 def test_verify_planes_toy(rng, fast):
     """Device verify pipeline end-to-end (interpret kernels), strict and
     fast-path variants, valid + tampered + malformed lanes in ONE batch."""
-    curve = TOY64
+    curve = TOY64E
     ds, qs, zs, sigs = _toy_batch(rng)
     rs = [r for r, _ in sigs]
     ss = [s for _, s in sigs]
@@ -151,7 +151,7 @@ def test_verify_planes_toy(rng, fast):
 def test_sign_planes_toy(rng):
     """Device signing through the comb kernel (interpret), verified lane by
     lane with the oracle — including that s matches the closed form."""
-    curve = TOY64
+    curve = TOY64E
     lanes = 16
     ds = [rng.randrange(1, curve.order) for _ in range(lanes)]
     zs = [rng.randrange(0, 1 << 64) for _ in range(lanes)]
@@ -175,7 +175,7 @@ def test_sign_planes_toy(rng):
 
 def test_sign_ints_verify_ints_toy(rng):
     """Host int convenience API round trip on the toy curve."""
-    curve = TOY64
+    curve = TOY64E
     ds = [rng.randrange(1, curve.order) for _ in range(8)]
     zs = [rng.randrange(0, 1 << 64) for _ in range(8)]
     rs, ss = ecdsa.sign_ints(zs, ds, curve, tile=8, interpret=True)
@@ -195,7 +195,7 @@ def test_jac_add_complete_degenerate(rng):
     from ecsimd_tpu.field import GFp
     from ecsimd_tpu.oracle.window import _jac_add, _jac_dbl
 
-    curve = TOY64
+    curve = TOY64E
     p = curve.p
     fs = curve.field
 

@@ -81,3 +81,21 @@ TOYA5S = CurveSpec(
     gy=2,
     order=GOLDILOCKS.p,  # placeholder odd value, as TOY64
 )
+
+
+# Toy curve with an EXACT PRIME order — required wherever the order's value
+# enters the arithmetic (ECDSA's mod-n scalar field, adversarial
+# degenerate-scalar construction for the strict comb/window paths). Found by
+# scripts/find_toy_ecdsa_curve.py: BSGS point-order inside the Hasse
+# interval; N prime in the interval is the unique group order. Verified:
+# N*G = inf, (N-1)*G != inf, N prime (Miller-Rabin), N < 2^64 so the mod-N
+# scalar field fits the same 4-digit planes.
+TOY64E = CurveSpec(
+    name="toy-ecdsa-goldilocks",
+    field=GOLDILOCKS,
+    a=GOLDILOCKS.p - 3,
+    b=354,
+    gx=5,
+    gy=1762323685373532378,
+    order=0xFFFFFFFEA209ADB5,
+)
