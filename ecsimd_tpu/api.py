@@ -129,6 +129,45 @@ def scalar_mult_base(scalars, curve: CurveSpec = P256,
     return AffinePoint(out.x, out.y, curve)
 
 
+def multi_scalar_mult(
+    scalars, points: AffinePoint, tile: int | None = None,
+    use_kernel: bool = True, interpret: bool = False,
+) -> JacobianPoint:
+    """Multi-scalar multiplication: sum_i k_i * P_i over the whole batch,
+    returned as a 1-lane JacobianPoint (the sum may be the point at
+    infinity, Z == 0 — callers check before to_affine). Beyond the
+    reference (its 4 SIMD lanes never communicate).
+
+    TPU-native shape: per-lane STRICT window multiplications (complete
+    accumulation adds — partial-sum collisions between lanes are
+    adversarially reachable in the MSM setting, so every add in sight must
+    be total) followed by a log2(B) pairwise tree of complete adds
+    (curves/group.batch_sum, ~1 add per lane amortized — <0.1% of the mult
+    work). A Pippenger bucket method does asymptotically fewer group ops
+    (~w-fold for large B) but is scatter/sort-bound — the access pattern
+    TPU vector memory is worst at; the dense per-lane form keeps the VPU at
+    the measured issue ceiling. Scalar domain per lane: [1, order)."""
+    from ecsimd_tpu.curves.point import JacobianPoint
+    from ecsimd_tpu.kernels import window
+
+    jg = JacobianPoint.from_affine(points)
+    if use_kernel:
+        t = window.DEFAULT_TILE if tile is None else tile
+        res = window.scalar_mult(scalars, jg, tile=t, interpret=interpret, strict=True)
+    else:
+        res = group.scalar_mult(scalars, jg)
+    return group.batch_sum(res)
+
+
+def multi_scalar_mult_ints(ks, xs, ys, curve: CurveSpec = P256, **kw):
+    """Int-list MSM: returns (x, y) ints or None for the point at infinity."""
+    res = multi_scalar_mult(scalars_from_ints(ks, curve), points_from_ints(xs, ys, curve), **kw)
+    if not bool(np.asarray(res.z.is_zero())[0]):
+        out = res.to_affine()
+        return (convert.planes_to_ints(out.x)[0], convert.planes_to_ints(out.y)[0])
+    return None
+
+
 # --- host-friendly integer interfaces ----------------------------------------
 
 

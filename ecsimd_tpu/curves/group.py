@@ -342,3 +342,47 @@ def scalar_mult_shared(kbits, pt: JacobianPoint) -> JacobianPoint:
     acc = JacobianPoint(ax, ay, z, curve)
     sub = JacobianPoint(sx, sy, sz, curve)
     return sub.select(meven, acc)
+
+
+# --- batch reduction (multi-scalar multiplication epilogue) -----------------------
+
+
+def batch_sum(pt: JacobianPoint) -> JacobianPoint:
+    """Sum a point batch over its batch axis into ONE point (returned as a
+    1-lane batch) — the reduction half of multi-scalar multiplication.
+
+    Balanced pairwise tree: each level adds the two halves of the batch with
+    the exception-free complete add (jac_add_complete), odd tails carried to
+    the next level — log2(B) levels, ~B total adds, uniform control flow.
+    Any lane (and the result) may be the point at infinity (Z == 0): with
+    per-lane scalar multiples as inputs, equal/opposite partial sums are
+    adversarially reachable, so the plain formulas would be wrong here.
+    No reference counterpart (its 4 lanes never communicate); the TPU cost
+    is one halving add-chain — ~2x one lane's field ops, amortized over the
+    whole batch (<0.1% of the scalar-mult work at B >= 2^11)."""
+    curve = pt.curve
+    fs = curve.field
+    x, y, z = pt.x.planes, pt.y.planes, pt.z.planes
+    assert x.ndim == 2, "batch_sum expects flat (D, B) planes"
+
+    def jac(xp, yp, zp):
+        return JacobianPoint(
+            GFp.from_mont(xp, fs), GFp.from_mont(yp, fs), GFp.from_mont(zp, fs), curve
+        )
+
+    import jax.numpy as jnp
+
+    while x.shape[1] > 1:
+        n = x.shape[1]
+        h = n // 2
+        res = jac_add_complete(
+            jac(x[:, :h], y[:, :h], z[:, :h]),
+            jac(x[:, h:2 * h], y[:, h:2 * h], z[:, h:2 * h]),
+        )
+        x, y, z = res.x.planes, res.y.planes, res.z.planes
+        if n % 2:
+            x = jnp.concatenate([x, pt.x.planes[:, n - 1:n]], axis=1)
+            y = jnp.concatenate([y, pt.y.planes[:, n - 1:n]], axis=1)
+            z = jnp.concatenate([z, pt.z.planes[:, n - 1:n]], axis=1)
+        pt = jac(x, y, z)
+    return jac(x, y, z)
