@@ -58,9 +58,9 @@ def run(batch: int = 65536, iters: int = 20, as_json: bool = False,
 
     from ecsimd_tpu import convert
     from ecsimd_tpu.ops import bignum as bn
-    from ecsimd_tpu.ops import mont, solinas
+    from ecsimd_tpu.ops import crandall, mont, solinas
     from ecsimd_tpu.oracle import field as ofield
-    from ecsimd_tpu.specs import P256_FIELD, SECP256K1_FIELD
+    from ecsimd_tpu.specs import FieldSpec, P256_FIELD, P521_FIELD, SECP256K1_FIELD, W25519_FIELD
 
     rng = np.random.default_rng(3)
 
@@ -122,6 +122,23 @@ def run(batch: int = 65536, iters: int = 20, as_json: bool = False,
         lambda o, a: (jnp.concatenate([o, o]),))
     rec("solinas_mul_p256", jax.jit(lambda x, y: solinas.fast_mul(x, y, fss)), (a256, b256),
         lambda: [x * y % fss.p for x, y in zip(a256i, b256i)], chain2)
+
+    # Crandall fold vs generic CIOS on the same 2^k - c primes — the measured
+    # cost of one field multiply in each strategy (r4: P-521 / Wei25519
+    # default flipped from CIOS to the fold, ops/crandall.py). Inputs < p-ish
+    # (top bits cleared) keep the CIOS twin inside its t < R*p contract.
+    for fsc, clr, tag in ((P521_FIELD, 7, "p521"), (W25519_FIELD, 1, "w25519")):
+        ac, bc = planes(fsc.nbits, clear_top_bits=clr), planes(fsc.nbits, clear_top_bits=clr)
+        aci, bci = ints(ac), ints(bc)
+        fsm_twin = FieldSpec(f"{tag}_cios", fsc.p, fsc.nbits, "montgomery")
+        rec(f"crandall_mul_{tag}",
+            jax.jit(lambda x, y, f=fsc: crandall.fast_mul(x, y, f)), (ac, bc),
+            lambda aci=aci, bci=bci, p=fsc.p: [x * y % p for x, y in zip(aci, bci)],
+            chain2)
+        rec(f"cios_mul_{tag}",
+            jax.jit(lambda x, y, f=fsm_twin: mont.mont_mul(x, y, f)), (ac, bc),
+            lambda aci=aci, bci=bci, f=fsm_twin: [ofield.mont_mul(x, y, f) for x, y in zip(aci, bci)],
+            chain2)
 
     if curve:
         results.update(_curve_axis(curve_batch, curve_iters, ints))

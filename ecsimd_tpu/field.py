@@ -14,30 +14,35 @@ import jax
 import jax.numpy as jnp
 
 from ecsimd_tpu.ops import bignum as bn
-from ecsimd_tpu.ops import mont, solinas
+from ecsimd_tpu.ops import crandall, mont, solinas
 from ecsimd_tpu.specs import FieldSpec, int_to_digits
 
 
 # --- reduction-strategy dispatch ---------------------------------------------
 # Montgomery (generic primes; the reference's only strategy) stores residues
-# x*R mod p; Solinas (NIST primes) stores plain residues with multiply-free
-# reduction. GFp hides the distinction behind one interface.
+# x*R mod p; Solinas (NIST primes) and Crandall (2^k - c primes) store plain
+# residues with multiply-free/-light reduction. GFp hides the distinction
+# behind one interface.
 
 
 def _mul_planes(a, b, fs: FieldSpec):
     if fs.reduction == "solinas":
         return solinas.fast_mul(a, b, fs)
+    if fs.reduction == "crandall":
+        return crandall.fast_mul(a, b, fs)
     return mont.mont_mul(a, b, fs)
 
 
 def _sqr_planes(a, fs: FieldSpec):
     if fs.reduction == "solinas":
         return solinas.fast_sqr(a, fs)
+    if fs.reduction == "crandall":
+        return crandall.fast_sqr(a, fs)
     return mont.mont_sqr(a, fs)
 
 
 def _one_planes(fs: FieldSpec, like):
-    if fs.reduction == "solinas":
+    if fs.plain:
         one = mont._const_planes(int_to_digits(1, fs.ndigits), like)
         return jnp.broadcast_to(one, like.shape)
     return mont.mont_one(fs, like)
@@ -74,8 +79,8 @@ class GFp:
     @classmethod
     def from_classical(cls, planes, fs: FieldSpec) -> "GFp":
         """classical planes -> internal domain (Montgomery for generic primes,
-        mgry.h:47-50; identity for Solinas primes)."""
-        if fs.reduction == "solinas":
+        mgry.h:47-50; identity for the plain-domain fast-reduction fields)."""
+        if fs.plain:
             return cls(planes, fs)
         return cls(mont.mont_from_classical(planes, fs), fs)
 
@@ -86,7 +91,7 @@ class GFp:
     @classmethod
     def constant(cls, value: int, fs: FieldSpec, like) -> "GFp":
         """Compile-time constant, pre-converted to the internal domain on host."""
-        m = value % fs.p if fs.reduction == "solinas" else (value << fs.nbits) % fs.p
+        m = value % fs.p if fs.plain else (value << fs.nbits) % fs.p
         c = mont._const_planes(int_to_digits(m, fs.ndigits), like)
         return cls(jnp.broadcast_to(c, like.shape), fs)
 
@@ -102,7 +107,7 @@ class GFp:
     # -- accessors -----------------------------------------------------------
 
     def to_classical(self):
-        if self.fs.reduction == "solinas":
+        if self.fs.plain:
             return self.planes
         return mont.mont_to_classical(self.planes, self.fs)
 
@@ -126,16 +131,21 @@ class GFp:
 
     def mul_scaled(self, o: "GFp", scale: int) -> "GFp":
         """scale * self * o for a small constant scale (2/3/4/8) — fused into
-        the Solinas reduction; falls back to double/add chains for Montgomery
-        fields (whose reduction contract t < R*p forbids pre-scaling)."""
+        the Solinas/Crandall reduction; falls back to double/add chains for
+        Montgomery fields (whose reduction contract t < R*p forbids
+        pre-scaling)."""
         if self.fs.reduction == "solinas":
             return GFp(solinas.fast_mul(self.planes, o.planes, self.fs, scale), self.fs)
+        if self.fs.reduction == "crandall":
+            return GFp(crandall.fast_mul(self.planes, o.planes, self.fs, scale), self.fs)
         return _scale_fallback(self * o, scale)
 
     def sqr_scaled(self, scale: int) -> "GFp":
         """scale * self^2 (see mul_scaled)."""
         if self.fs.reduction == "solinas":
             return GFp(solinas.fast_sqr(self.planes, self.fs, scale), self.fs)
+        if self.fs.reduction == "crandall":
+            return GFp(crandall.fast_sqr(self.planes, self.fs, scale), self.fs)
         return _scale_fallback(self.sqr(), scale)
 
     def double(self) -> "GFp":

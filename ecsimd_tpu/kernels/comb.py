@@ -75,7 +75,7 @@ def _batch_inv(zs: list[int], p: int) -> list[int]:
 
 
 def _to_internal(v: int, fs) -> int:
-    return v % fs.p if fs.reduction == "solinas" else (v << fs.nbits) % fs.p
+    return v % fs.p if fs.plain else (v << fs.nbits) % fs.p
 
 
 @functools.cache

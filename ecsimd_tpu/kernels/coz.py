@@ -105,8 +105,9 @@ def aff_add_generic(x1, y1, x2, y2):
 
 
 def aff_add_any(x1, y1, x2, y2, curve: CurveSpec):
-    """aff_add with reduction-strategy dispatch (fused for Solinas)."""
-    if curve.field.reduction == "solinas":
+    """aff_add with reduction-strategy dispatch (fused for plain-domain
+    solinas/crandall fields)."""
+    if curve.field.plain:
         return aff_add_fused(x1, y1, x2, y2)
     return aff_add_generic(x1, y1, x2, y2)
 
@@ -184,27 +185,29 @@ def jac_dbl_general_a(x1, y1, z1, curve: CurveSpec):
 
 def dbl_any(x1, y1, z1, curve: CurveSpec):
     """jac_dbl with reduction/curve-shape dispatch: fused dbl-2001-b for
-    Solinas a = -3, per-op dbl-2001-b for Montgomery a = -3, general-a
+    plain-domain (solinas/crandall) a = -3, per-op dbl-2001-b for Montgomery
+    a = -3, general-a
     doubling otherwise."""
     am3 = curve.a == curve.field.p - 3
     if not am3:
         return jac_dbl_general_a(x1, y1, z1, curve)
-    if curve.field.reduction == "solinas":
+    if curve.field.plain:
         return jac_dbl(x1, y1, z1, curve)
     return jac_dbl_generic(x1, y1, z1, curve)
 
 
 def add_any(x1, y1, z1, x2, y2, z2, curve: CurveSpec):
-    """jac_add with reduction-strategy dispatch (fused for Solinas)."""
-    if curve.field.reduction == "solinas":
+    """jac_add with reduction-strategy dispatch (fused for plain-domain
+    solinas/crandall fields)."""
+    if curve.field.plain:
         return jac_add(x1, y1, z1, x2, y2, z2)
     return jac_add_generic(x1, y1, z1, x2, y2, z2)
 
 
 def add_z2_1_any(x1, y1, z1, x2, y2, curve: CurveSpec):
-    """add_z2_1 with reduction-strategy dispatch (fused for Solinas; the
+    """add_z2_1 with reduction-strategy dispatch (fused for plain-domain; the
     generic path is curves/group.add_z2_1, which duck-types over VGFp)."""
-    if curve.field.reduction == "solinas":
+    if curve.field.plain:
         return add_z2_1_fused(x1, y1, z1, x2, y2)
     from ecsimd_tpu.curves import group
 
@@ -249,7 +252,7 @@ def add_complete_any(x1, y1, z1, x2, y2, z2, curve: CurveSpec):
     adversarial-scalar class at ~+1 doubling per accumulation add. Doubling
     of infinity stays at infinity through dbl_any (z3 has a factor z1), so a
     flagged lane survives the remaining chain."""
-    if curve.field.reduction == "solinas":
+    if curve.field.plain:
         x3, y3, z3, h, r = jac_add(x1, y1, z1, x2, y2, z2, with_hr=True)
     else:
         x3, y3, z3, h, r = jac_add_generic(x1, y1, z1, x2, y2, z2, with_hr=True)

@@ -12,8 +12,9 @@ shift_left, opposite, select, const_like), so the co-Z group-law code in
 curves/group.py traces unchanged inside kernels.
 
 Reduction dispatch mirrors field.py: Solinas fast reduction for NIST primes
-(plain domain), CIOS Montgomery for generic primes (Montgomery domain) —
-constants and bound proofs shared with ops/solinas.py / ops/mont.py.
+and the Crandall fold for 2^k - c primes (both plain domain), CIOS
+Montgomery for generic primes (Montgomery domain) — constants and bound
+proofs shared with ops/solinas.py / ops/crandall.py / ops/mont.py.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-from ecsimd_tpu.ops import solinas
+from ecsimd_tpu.ops import crandall, solinas
 from ecsimd_tpu.specs import DIGIT_BITS, DIGIT_MASK, FieldSpec, int_to_digits
 
 I32 = jnp.int32
@@ -272,6 +273,26 @@ def _solinas_reduce_list(cols, fs: FieldSpec, col_bound: int = 1 << 22, col_lo: 
     return cond_sub_p(w4, c4, fs)
 
 
+def _crandall_reduce_list(cols, fs: FieldSpec, col_bound: int | None = None, col_lo: int = 0):
+    """List-based Crandall fold; the core and proofs live in ops/crandall.py
+    (the shared _reduce_rows is already kernel-dialect safe)."""
+    if col_bound is None:
+        col_bound = crandall.grid_col_bound(fs)
+    digs, carry = crandall._reduce_rows(cols, fs, col_bound, col_lo)
+    return cond_sub_p(digs, carry, fs)
+
+
+def _fast_reduce_list(cols, fs: FieldSpec, col_bound: int | None = None, col_lo: int = 0):
+    """Plain-domain fused-reduction dispatch (solinas | crandall). The
+    Solinas branch keeps its historical 2^22 default (valid for its d <= 24
+    fields); the Crandall branch derives the bound from d (P-521's d = 33
+    grid columns exceed 2^22)."""
+    if fs.reduction == "solinas":
+        return _solinas_reduce_list(cols, fs, col_bound if col_bound is not None else 1 << 22, col_lo)
+    assert fs.reduction == "crandall"
+    return _crandall_reduce_list(cols, fs, col_bound, col_lo)
+
+
 def _cios_reduce_list(cols, fs: FieldSpec):
     """List-based CIOS Montgomery reduction (mgry_reduce, mgry_mul.h:84-121)."""
     d = fs.ndigits
@@ -290,14 +311,14 @@ def _cios_reduce_list(cols, fs: FieldSpec):
 
 
 def field_mul(a, b, fs: FieldSpec):
-    if fs.reduction == "solinas":
-        return _solinas_reduce_list(_grid(a, b, fs.ndigits), fs)
+    if fs.plain:
+        return _fast_reduce_list(_grid(a, b, fs.ndigits), fs)
     return _cios_reduce_list(_grid(a, b, fs.ndigits), fs)
 
 
 def field_sqr(a, fs: FieldSpec):
-    if fs.reduction == "solinas":
-        return _solinas_reduce_list(_grid_sqr(a, fs.ndigits), fs)
+    if fs.plain:
+        return _fast_reduce_list(_grid_sqr(a, fs.ndigits), fs)
     return _cios_reduce_list(_grid_sqr(a, fs.ndigits), fs)
 
 
@@ -306,16 +327,20 @@ def _scale_list(cols, scale: int):
     return [c * s for c in cols]
 
 
+def _scaled_bound(fs: FieldSpec, scale: int) -> int:
+    return (scale << 22) if fs.reduction == "solinas" else crandall.grid_col_bound(fs, scale)
+
+
 def field_mul_scaled(a, b, fs: FieldSpec, scale: int):
-    """scale*a*b mod p, scale fused into the Solinas reduction (see
+    """scale*a*b mod p, scale fused into the fast reduction (see
     ops/solinas.fast_mul); Montgomery fields fall back at the VGFp level."""
-    assert fs.reduction == "solinas"
-    return _solinas_reduce_list(_scale_list(_grid(a, b, fs.ndigits), scale), fs, col_bound=scale << 22)
+    assert fs.plain
+    return _fast_reduce_list(_scale_list(_grid(a, b, fs.ndigits), scale), fs, col_bound=_scaled_bound(fs, scale))
 
 
 def field_sqr_scaled(a, fs: FieldSpec, scale: int):
-    assert fs.reduction == "solinas"
-    return _solinas_reduce_list(_scale_list(_grid_sqr(a, fs.ndigits), scale), fs, col_bound=scale << 22)
+    assert fs.plain
+    return _fast_reduce_list(_scale_list(_grid_sqr(a, fs.ndigits), scale), fs, col_bound=_scaled_bound(fs, scale))
 
 
 def reduce_combo(terms, fs: FieldSpec):
@@ -326,15 +351,17 @@ def reduce_combo(terms, fs: FieldSpec):
 
     Fuses patterns like x3 = r^2 - hhh - 2v into a single reduction —
     removing one full reduction plus the mod_sub chains per fused term. The
-    interval proof runs in ops/solinas._plan with the combined signed bounds.
+    interval proof runs in ops/solinas._plan (or ops/crandall._plan) with
+    the combined signed bounds.
     """
-    assert fs.reduction == "solinas"
+    assert fs.plain
     d = fs.ndigits
     ncols = 2 * d + 1
+    grid_bound = (1 << 22) if fs.reduction == "solinas" else crandall.grid_col_bound(fs)
     cols = [None] * ncols
     lo = hi = 0
     for rows, scale in terms:
-        bound = (1 << 22) if len(rows) == ncols else (1 << 16)
+        bound = grid_bound if len(rows) == ncols else (1 << 16)
         lo += min(scale * bound, 0)
         hi += max(scale * bound, 0)
         s = jnp.int32(scale)
@@ -342,7 +369,7 @@ def reduce_combo(terms, fs: FieldSpec):
             v = r if scale == 1 else (-r if scale == -1 else r * s)
             cols[k] = v if cols[k] is None else cols[k] + v
     cols = [c if c is not None else jnp.zeros_like(terms[0][0][0]) for c in cols]
-    return _solinas_reduce_list(cols, fs, col_bound=hi if hi else 1, col_lo=lo)
+    return _fast_reduce_list(cols, fs, col_bound=hi if hi else 1, col_lo=lo)
 
 
 # --- GFp-compatible element wrapper ------------------------------------------
@@ -364,7 +391,7 @@ class VGFp:
 
     def const_like(self, value: int) -> "VGFp":
         m = value % self.fs.p
-        if self.fs.reduction != "solinas":
+        if not self.fs.plain:
             m = (value << self.fs.nbits) % self.fs.p
         like = self.digs[0]
         return VGFp(
@@ -385,14 +412,14 @@ class VGFp:
         return VGFp(field_sqr(self.digs, self.fs), self.fs)
 
     def mul_scaled(self, o, scale: int):
-        if self.fs.reduction == "solinas":
+        if self.fs.plain:
             return VGFp(field_mul_scaled(self.digs, o.digs, self.fs, scale), self.fs)
         from ecsimd_tpu.field import _scale_fallback
 
         return _scale_fallback(self * o, scale)
 
     def sqr_scaled(self, scale: int):
-        if self.fs.reduction == "solinas":
+        if self.fs.plain:
             return VGFp(field_sqr_scaled(self.digs, self.fs, scale), self.fs)
         from ecsimd_tpu.field import _scale_fallback
 

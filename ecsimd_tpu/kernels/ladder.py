@@ -38,13 +38,13 @@ LANES = 128
 
 
 def _zdau(x1, y1, x2, y2, z):
-    if x1.fs.reduction == "solinas":
+    if x1.fs.plain:
         return coz_k.zdau_fused(x1, y1, x2, y2, z)
     return group.zdau(x1, y1, x2, y2, z)
 
 
 def _add_z2_1(x1, y1, z1, x2, y2):
-    if x1.fs.reduction == "solinas":
+    if x1.fs.plain:
         return coz_k.add_z2_1_fused(x1, y1, z1, x2, y2)
     return group.add_z2_1(x1, y1, z1, x2, y2)
 

@@ -43,13 +43,27 @@ class FieldSpec:
     # a TPU-native specialization the reference lacks (its compile-time
     # constants make Montgomery free of per-prime cost on CPUs; on the TPU
     # VPU the CIOS multiplies are ~half the field-mul cost, so sparse primes
-    # get a multiply-free reduction instead).
+    # get a multiply-free reduction instead). "crandall": fold reduction for
+    # p = 2^k - c with small c (P-521, Curve25519's 2^255 - 19) — needs only
+    # cc = 2^nbits mod p small, not word-aligned terms (ops/crandall.py).
     reduction: str = "montgomery"
 
     def __post_init__(self):
         assert self.nbits % DIGIT_BITS == 0
         assert self.p % 2 == 1 and self.p.bit_length() <= self.nbits
-        assert self.reduction in ("montgomery", "solinas")
+        assert self.reduction in ("montgomery", "solinas", "crandall")
+        if self.reduction == "crandall":
+            k = self.p.bit_length()
+            c = (1 << k) - self.p
+            assert self.nbits > k and self.nbits - k < DIGIT_BITS
+            assert (c << (self.nbits - k)) < (1 << 14), "fold multiplier too large"
+
+    @property
+    def plain(self) -> bool:
+        """True when residues are stored plain (no Montgomery R factor):
+        the solinas/crandall fast-reduction fields. These also support
+        column-level fused reductions (scaled products, reduce_combo)."""
+        return self.reduction != "montgomery"
 
     @property
     def ndigits(self) -> int:
@@ -210,15 +224,15 @@ SECP256K1 = CurveSpec(
 
 # NIST P-521 — beyond the reference. p = 2^521 - 1 (Mersenne) stored in 33
 # digits (nbits = 528). The Solinas planner requires word-aligned +-1/+-2
-# folds (2^528 mod p = 2^7 doesn't qualify), so the field runs on the
-# generic CIOS path; a Crandall-prime (2^k - c) fast fold is a known
-# possible extension. a = -3 and p = 3 (mod 4), so every fast path
+# folds (2^528 mod p = 2^7 doesn't qualify); the Crandall fold reduction
+# (ops/crandall.py, cc = 2^7) fits exactly and roughly halves the field-mul
+# cost vs generic CIOS. a = -3 and p = 3 (mod 4), so every fast path
 # (window/comb kernels, sqrt decompression) accepts it.
 P521_FIELD = FieldSpec(
     name="p521",
     p=(1 << 521) - 1,
     nbits=528,
-    reduction="montgomery",
+    reduction="crandall",
 )
 
 P521 = CurveSpec(
@@ -239,12 +253,12 @@ P521 = CurveSpec(
 # cofactor 8; the generator below generates the order-l subgroup, satisfying
 # the framework's odd-order requirement). p = 1 (mod 4): sqrt/decompression
 # is unavailable (FieldSpec.sqrt_exponent asserts), scalar mult paths all
-# work (generic-a group law + CIOS field, like secp256k1).
+# work (generic-a group law + the Crandall fold field, cc = 38).
 W25519_FIELD = FieldSpec(
     name="w25519",
     p=(1 << 255) - 19,
     nbits=256,
-    reduction="montgomery",
+    reduction="crandall",
 )
 
 WEI25519 = CurveSpec(

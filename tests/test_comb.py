@@ -86,7 +86,7 @@ def _check(curve, ks, base=None, **kw):
     # Solinas); keeps the test off slow eager/XLA:CPU inversion chains
     fs = curve.field
     p = fs.p
-    rinv = pow(1 << fs.nbits, -1, p) if fs.reduction != "solinas" else 1
+    rinv = pow(1 << fs.nbits, -1, p) if not fs.plain else 1
     got = []
     for X, Y, Z in zip(convert.planes_to_ints(np.asarray(pt.x.planes)),
                        convert.planes_to_ints(np.asarray(pt.y.planes)),

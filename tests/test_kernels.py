@@ -21,7 +21,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ecsimd_tpu import api, convert
 from ecsimd_tpu.kernels import digits
 from ecsimd_tpu.oracle import coz
-from ecsimd_tpu.specs import P256, P256_FIELD, P384_FIELD, SECP256K1_FIELD
+from ecsimd_tpu.specs import P256, P256_FIELD, P384_FIELD, SECP256K1_FIELD, W25519_FIELD
 
 S, L = 2, 4  # tiny tile for interpret mode
 BATCH = S * L
@@ -53,11 +53,13 @@ def _rand_ints(rng, fs, n):
     return vals[:n]
 
 
-@pytest.mark.parametrize("fs", [P256_FIELD, P384_FIELD, SECP256K1_FIELD], ids=lambda f: f.name)
+@pytest.mark.parametrize(
+    "fs", [P256_FIELD, P384_FIELD, SECP256K1_FIELD, W25519_FIELD], ids=lambda f: f.name
+)
 def test_kernel_field_mul_sqr(fs, rng):
     a = _rand_ints(rng, fs, BATCH)
     b = list(reversed(_rand_ints(rng, fs, BATCH)))
-    scale = 1 if fs.reduction == "solinas" else fs.R_inv
+    scale = 1 if fs.plain else fs.R_inv
     got = _run_binop(lambda x, y: digits.field_mul(x, y, fs), a, b, fs)
     assert got == [x * y * scale % fs.p for x, y in zip(a, b)]
     got = _run_binop(lambda x, y: digits.field_sqr(x, fs), a, b, fs)
@@ -280,3 +282,52 @@ def test_window_core_xla_toy_mont(rng):
         zi = pow(Z, p - 2, p)
         got.append((X * zi * zi % p, Y * zi * zi * zi % p))
     assert got == [coz.scalar_mult_affine(k, TOYM.gx, TOYM.gy, TOYM) for k in ks]
+
+
+def test_ladder_kernel_toy_crandall_interpret(rng):
+    """The ladder kernel end-to-end on a Crandall-reduction field (M61 fold
+    digit-list mul + fused plain-domain group law inside the kernel) — the
+    code path P-521 / Wei25519 take after r4's reduction flip."""
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.kernels import ladder
+    from tests.toy import TOYC
+
+    ks = [2, 5, 6, rng.randrange(1, 1 << 60)]
+    d = TOYC.field.ndigits
+    xs = jnp.asarray(convert.broadcast_int(TOYC.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOYC.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOYC))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    res = ladder.scalar_mult(scalars, jg, tile=4, interpret=True)
+    p = TOYC.p  # plain domain: no R factor to strip
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(res.x.planes)),
+                       convert.planes_to_ints(np.asarray(res.y.planes)),
+                       convert.planes_to_ints(np.asarray(res.z.planes))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    assert got == [coz.scalar_mult_affine(k, TOYC.gx, TOYC.gy, TOYC) for k in ks]
+
+
+def test_window_core_xla_toy_crandall(rng):
+    """Window compute path (fused Crandall reductions throughout) on the M61
+    toy — P-521's exact code shape end-to-end on CPU."""
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.kernels import window
+    from tests.toy import TOYC
+
+    d = TOYC.field.ndigits
+    ks = [1, 2, 5, 6, 255, 12345, rng.randrange(1, 1 << 60)]
+    xs = jnp.asarray(convert.broadcast_int(TOYC.gx, d, len(ks)))
+    ys = jnp.asarray(convert.broadcast_int(TOYC.gy, d, len(ks)))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOYC))
+    scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+    ax, ay, z = window.window_xla_planes(scalars, jg.x.planes, jg.y.planes, TOYC)
+    p = TOYC.p
+    got = []
+    for X, Y, Z in zip(convert.planes_to_ints(np.asarray(ax)),
+                       convert.planes_to_ints(np.asarray(ay)),
+                       convert.planes_to_ints(np.asarray(z))):
+        zi = pow(Z, p - 2, p)
+        got.append((X * zi * zi % p, Y * zi * zi * zi % p))
+    assert got == [coz.scalar_mult_affine(k, TOYC.gx, TOYC.gy, TOYC) for k in ks]

@@ -94,9 +94,9 @@ def test_add_complete_any_degenerate_cases(rng):
     for curve in (TOY64, TOYM):
         fs = curve.field
         p = fs.p
-        to_i = (lambda v: v) if fs.reduction == "solinas" else (
+        to_i = (lambda v: v) if fs.plain else (
             lambda v: (v << fs.nbits) % p)
-        from_i = (lambda v: v) if fs.reduction == "solinas" else (
+        from_i = (lambda v: v) if fs.plain else (
             lambda v: v * pow(1 << fs.nbits, -1, p) % p)
         ka, kb = 5, 7
         A = coz.jacobian_to_affine(

@@ -83,6 +83,28 @@ TOYA5S = CurveSpec(
 )
 
 
+# Toy *Crandall* field/curve: p = 2^61 - 1 is the Mersenne prime M61, stored
+# in 64 bits (nbits - k = 3, cc = 2^3 = 8) — the 4-digit analogue of P-521's
+# 2^521 - 1, running the Crandall fold (ops/crandall.py) through the kernel
+# dialect in interpret mode. p = 2^61 - 1 = 3 mod 4, so sqrt works too.
+CRAN64 = FieldSpec(
+    name="cran61",
+    p=(1 << 61) - 1,
+    nbits=64,
+    reduction="crandall",
+)
+
+TOYC = CurveSpec(
+    name="toy-cran61",
+    field=CRAN64,
+    a=CRAN64.p - 3,
+    b=6,
+    gx=1,
+    gy=2,
+    order=CRAN64.p,  # placeholder odd value, as TOY64
+)
+
+
 # Toy curve with an EXACT PRIME order — required wherever the order's value
 # enters the arithmetic (ECDSA's mod-n scalar field, adversarial
 # degenerate-scalar construction for the strict comb/window paths). Found by
