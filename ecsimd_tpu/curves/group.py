@@ -258,7 +258,7 @@ def _bit_at(scalars, i):
     return lax.shift_right_logical(plane, off) & 1
 
 
-def scalar_mult(scalars, pt: JacobianPoint) -> JacobianPoint:
+def scalar_mult(scalars, pt: JacobianPoint, host_loop: bool = False) -> JacobianPoint:
     """Batched constant-time scalar multiplication: k_i * P_i per lane.
 
     scalars: (D, *batch) classical digit planes; pt: Jacobian batch with z = 1
@@ -271,6 +271,14 @@ def scalar_mult(scalars, pt: JacobianPoint) -> JacobianPoint:
     Domain (same exclusions as the reference ladder): k in [1, order-1);
     k = order-1 is even, so the parity fixup computes order*P = infinity and
     the lane degenerates (z = 0) — the Python oracle raises on the same input.
+
+    ``host_loop=True`` replaces the fori_loop with a Python loop around ONE
+    jitted ladder step (same compiled step reused for every bit). Use it —
+    eagerly, never under an outer jit — where compiling the whole while
+    graph is pathological: XLA:CPU's pass pipeline repeatedly clones the
+    loop body and its algebraic simplifier hits its circular-rewrite cap on
+    the d = 33 P-521 body, exploding past 30 GB of compile RSS; one step
+    compiles in seconds. TPU/jit callers keep the default fori_loop.
     """
     curve = pt.curve
     nbits = curve.field.nbits
@@ -293,7 +301,16 @@ def scalar_mult(scalars, pt: JacobianPoint) -> JacobianPoint:
         ay, by = gfp_swap_if(m, ay, by)
         return ax, ay, bx, by, z
 
-    ax, ay, bx, by, z = lax.fori_loop(2, nbits, body, (ax, ay, bx, by, z))
+    if host_loop:
+        import jax
+
+        step = jax.jit(body)
+        state = (ax, ay, bx, by, z)
+        for i in range(2, nbits):
+            state = step(jnp.int32(i), state)
+        ax, ay, bx, by, z = state
+    else:
+        ax, ay, bx, by, z = lax.fori_loop(2, nbits, body, (ax, ay, bx, by, z))
 
     # parity fixup: even scalars got (k+1)P in acc; subtract P (curve_group.h:214-217)
     sx, sy, sz = add_z2_1(ax, ay, z, pt.x, opp_y)

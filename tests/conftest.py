@@ -30,13 +30,16 @@ import jax
 # already-read config. The config updates below reliably win.
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
-# Persistent compilation cache: the suite compiles a few large programs
-# (254-step ladders, 256-bit pow chains) at ~2 min each on CPU; cache them
-# across runs so only the first run pays.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
+# Persistent compilation cache: DISABLED for the CPU suite since the r4
+# jaxlib update — its cache serializer segfaults the whole process on large
+# XLA:CPU executables, on write (put_executable_and_time: P-384 ladder,
+# sharded P-256 mesh jit) AND on read (get_executable_and_time: the 23MB
+# wei25519 ladder entry). Three full-suite runs died this way; d=16
+# single-device entries (~6MB) were fine, but there is no max-entry-size
+# knob to express that. Cold recompiles cost a few minutes per run; a
+# segfaulted suite costs everything. bench.py (TPU path) keeps its own
+# cache config — Mosaic executables round-trip fine.
+# (Kept intentionally: jax.config.update("jax_compilation_cache_dir", ...))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

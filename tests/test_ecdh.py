@@ -86,7 +86,7 @@ def test_x25519_interop():
     """Wei25519 scalar mult agrees with the `cryptography` package's X25519
     through the Weierstrass->Montgomery map u = x - A/3. Clamped scalars
     exceed the subgroup order n (they sit near 2^254), which the integer
-    ladder handles by construction — so this goes through api.scalar_mult
+    ladder handles by construction — so this goes through the raw ladder
     directly rather than the [1, n)-validated ECDH facade."""
     from cryptography.hazmat.primitives.asymmetric.x25519 import X25519PrivateKey
     from ecsimd_tpu.specs import WEI25519
@@ -106,8 +106,11 @@ def test_x25519_interop():
         k[31] |= 64
         return int.from_bytes(bytes(k), "little")
 
+    from tests.helpers import ladder_xy_host
+
     ks = [clamp(r) for r in raws]
-    g = api.generator_batch(WEI25519, len(ks))
-    got = api.scalar_mult(api.scalars_from_ints(ks, WEI25519), g)
-    got_u = [(x - a24_off) % p for x in convert.planes_to_ints(got.x)]
+    # jitted-single-step ladder (full wei25519 while-graph jit is
+    # pathological on XLA:CPU — tests/helpers.ladder_xy_host / CLAUDE.md)
+    got = ladder_xy_host(ks, WEI25519)
+    got_u = [(x - a24_off) % p for x, _ in got]
     assert got_u == want_u

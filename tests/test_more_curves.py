@@ -33,11 +33,13 @@ def test_oracle_self_check(rng, curve):
 def test_scalar_mult_ladder(rng, curve):
     """Full XLA ladder, per-lane distinct scalars, both parities, a top-range
     scalar (P-521: exercises the 7 always-zero storage bits above the order)."""
+    from tests.helpers import ladder_xy_host
+
     ks = [1, 2, 5, curve.order - 2, rng.randrange(1, curve.order)]
-    g = api.generator_batch(curve, len(ks))
-    got = api.scalar_mult(api.scalars_from_ints(ks, curve), g)
     want = [coz.scalar_mult_affine(k, curve.gx, curve.gy, curve) for k in ks]
-    assert list(zip(convert.planes_to_ints(got.x), convert.planes_to_ints(got.y))) == want
+    # jitted-single-step ladder: the full while-graph jit of either curve is
+    # pathological on XLA:CPU (see tests/helpers.ladder_xy_host / CLAUDE.md)
+    assert ladder_xy_host(ks, curve) == want
 
 
 @pytest.mark.parametrize("curve", [P521, WEI25519], ids=lambda c: c.name)

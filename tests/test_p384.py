@@ -41,11 +41,15 @@ def test_p384_group_law_vs_oracle(rng):
 
 
 def test_p384_scalar_mult(rng):
+    from tests.helpers import ladder_xy_host
+
     ks = [5, 2, rng.randrange(1, P384.order), 1]
-    g = api.generator_batch(P384, len(ks))
-    got = api.scalar_mult(api.scalars_from_ints(ks, P384), g)
     want = [coz.scalar_mult_affine(k, P384.gx, P384.gy, P384) for k in ks]
-    assert list(zip(convert.planes_to_ints(got.x), convert.planes_to_ints(got.y))) == want
+    # jitted-single-step ladder: since the r4 jaxlib update, XLA:CPU's
+    # compile of full-width while-graph ladders at d >= 24 balloons past
+    # 25 GB and its cache serialization of the result segfaults
+    # (tests/helpers.ladder_xy_host / CLAUDE.md; d = 16 curves unaffected)
+    assert ladder_xy_host(ks, P384) == want
 
 
 def test_p384_comb_tree(rng):

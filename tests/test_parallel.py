@@ -95,20 +95,30 @@ def test_scalar_mult_sharded_kernel_toy(mesh, rng):
 
 
 def test_scalar_mult_sharded_autopad_xla(mesh, rng):
-    """XLA path with a batch that is not a multiple of the mesh size."""
-    from ecsimd_tpu.curves.point import JacobianPoint
-    from ecsimd_tpu.oracle import coz
+    """XLA path with a batch that is not a multiple of the mesh size.
 
-    ks = [rng.randrange(1, P256.order) for _ in range(11)]
-    g = api.generator_batch(P256, 11)
-    jg = JacobianPoint.from_affine(g)
+    Toy curve: the pad/unpad machinery under test is curve-independent, and
+    a second full P-256 sharded-ladder compile late in the suite is what
+    aborted r4f's run (the r4 jaxlib's fusion pass inflates these modules
+    ~20x; with ~27GB of prior-compile RSS held the next one dies — CLAUDE.md
+    'XLA:CPU' note). test_scalar_mult_sharded_xla keeps the real P-256
+    sharded jit; the driver's dryrun compiles it again in a fresh process."""
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.oracle import coz
+    from tests.toy import TOY64
+
+    d = TOY64.field.ndigits
+    ks = [rng.randrange(1, 1 << 62) for _ in range(11)]
+    xs = jnp.asarray(convert.broadcast_int(TOY64.gx, d, 11))
+    ys = jnp.asarray(convert.broadcast_int(TOY64.gy, d, 11))
+    jg = JacobianPoint.from_affine(AffinePoint(xs, ys, TOY64))
     res = parallel.scalar_mult_sharded(
-        api.scalars_from_ints(ks, P256), jg, mesh, use_kernel=False
+        jnp.asarray(convert.ints_to_planes(ks, d)), jg, mesh, use_kernel=False
     )
     aff = res.to_affine()
     assert aff.x.shape[-1] == 11
     got = list(zip(convert.planes_to_ints(aff.x), convert.planes_to_ints(aff.y)))
-    assert got == [coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks]
+    assert got == [coz.scalar_mult_affine(k, TOY64.gx, TOY64.gy, TOY64) for k in ks]
 
 
 def test_health_check(mesh):
