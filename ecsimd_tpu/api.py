@@ -110,6 +110,26 @@ def scalar_mult_fast(
     return AffinePoint(out.x, out.y, points.curve)
 
 
+def scalar_mult_glv(
+    scalars, points: AffinePoint, tile: int | None = None,
+    strict: bool = True, interpret: bool = False,
+) -> AffinePoint:
+    """Batched k_i * P_i through the GLV endomorphism-split window kernel —
+    the variable-base fast path for j-invariant-0 curves (secp256k1):
+    k = k1 + k2*lambda with |k_i| ~ sqrt(n) halves the doubling count
+    (~1.3x fewer field mults than scalar_mult_fast; kernels/glv.py).
+    Derivation, decomposition and domain notes in ecsimd_tpu/glv.py.
+    ``strict`` defaults True: unlike the plain window kernel the degenerate
+    classes here are trivially reachable (k = lambda makes k1 = 0)."""
+    from ecsimd_tpu.kernels import glv as kglv
+
+    jg = JacobianPoint.from_affine(points)
+    t = kglv.DEFAULT_TILE if tile is None else tile
+    res = kglv.scalar_mult(scalars, jg, tile=t, interpret=interpret, strict=strict)
+    out = res.to_affine()
+    return AffinePoint(out.x, out.y, points.curve)
+
+
 def scalar_mult_base(scalars, curve: CurveSpec = P256,
                      base: tuple[int, int] | None = None,
                      tile: int | None = None, strict: bool = False) -> AffinePoint:
@@ -150,6 +170,11 @@ def multi_scalar_mult(
     from ecsimd_tpu.curves.point import JacobianPoint
     from ecsimd_tpu.kernels import window
 
+    # scalars live in [1, order): a placeholder order makes the domain
+    # claim (and any caller reasoning mod n) silently wrong
+    assert points.curve.order_exact, (
+        f"{points.curve.name}: order is a placeholder (order_exact=False)"
+    )
     jg = JacobianPoint.from_affine(points)
     if use_kernel:
         t = window.DEFAULT_TILE if tile is None else tile

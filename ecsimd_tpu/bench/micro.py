@@ -8,6 +8,14 @@ through remote-execution tunnels) and reported as ops/sec (batch elements per
 second), the TPU-native analogue of the reference's per-iteration times on a
 4-lane batch.
 
+Dispatch amortization (r5, VERDICT r4 weak #5): a single op per device call
+measures the tunnel's ~2.1 ms dispatch round trip, not chip arithmetic. Each
+timed call therefore applies the op ``--inner`` times (default 16) chained
+on its own output inside ONE jit — the data dependency forces every
+application to execute, and the per-op rate approaches the device rate
+(cross-checked against scripts/profile_kernels.py's xplane device times).
+``--inner 1`` reproduces the old per-call rows.
+
 Every metric's warmup result is asserted against the Python-int oracle on a
 handful of lanes, so the bench cannot silently time wrong results. The
 mgry_reduce_512 input honours the reduction contract t < R*p (oracle/field.py)
@@ -52,7 +60,8 @@ def _bench_one(fn, args, iters, chain=None):
 
 
 def run(batch: int = 65536, iters: int = 20, as_json: bool = False,
-        curve: bool = False, curve_batch: int = 4096, curve_iters: int = 3):
+        curve: bool = False, curve_batch: int = 4096, curve_iters: int = 3,
+        inner: int = 16):
     import jax
     import jax.numpy as jnp
 
@@ -86,12 +95,30 @@ def run(batch: int = 65536, iters: int = 20, as_json: bool = False,
     results = {}
 
     def rec(name, fn, args, chk, chain=None, it=iters, bat=batch):
-        dt, out = _bench_one(fn, args, it, chain)
+        # correctness first: ONE application vs the Python-int oracle
+        out = fn(*args)
         got = out[0] if isinstance(out, tuple) else out
         want = chk()
         have = ints(got)
         assert have == want, f"{name}: wrong result {have[:1]} != {want[:1]}"
-        results[name] = bat / dt
+        # timing: `inner` chained applications per device call (dispatch
+        # amortization — see module docstring); the chain rule is the same
+        # one _bench_one uses across calls
+        if chain is not None and inner > 1:
+            def fn_inner(*a, _fn=fn, _chain=chain):
+                o = _fn(*a)
+                for _ in range(inner - 1):
+                    a = _chain(o, a)
+                    o = _fn(*a)
+                return o
+
+            import jax as _jax
+
+            dt, _ = _bench_one(_jax.jit(fn_inner), args, it, chain)
+            results[name] = bat * inner / dt
+        else:
+            dt, _ = _bench_one(fn, args, it, chain)
+            results[name] = bat / dt
 
     M = (1 << 256) - 1
     a128i, b128i = ints(a128), ints(b128)
@@ -221,5 +248,8 @@ if __name__ == "__main__":
                     help="add the XLA-vs-kernel scalar-mult comparison axis")
     ap.add_argument("--curve-batch", type=int, default=4096)
     ap.add_argument("--curve-iters", type=int, default=3)
+    ap.add_argument("--inner", type=int, default=16,
+                    help="chained op applications per device call (1 = old per-call rows)")
     args = ap.parse_args()
-    run(args.batch, args.iters, args.json, args.curve, args.curve_batch, args.curve_iters)
+    run(args.batch, args.iters, args.json, args.curve, args.curve_batch,
+        args.curve_iters, args.inner)

@@ -47,9 +47,17 @@ class JacobianPoint:
         y = GFp.from_classical(pt.y, fs)
         return cls(x, y, GFp.one(fs, x.planes), pt.curve)
 
-    def to_affine(self) -> AffinePoint:
-        """x/z^2, y/z^3 via one field inversion; jacobian_curve_point.h:33-42."""
-        zi = self.z.inverse()
+    def to_affine(self, batch_inv: bool = True) -> AffinePoint:
+        """x/z^2, y/z^3 via field inversion; jacobian_curve_point.h:33-42.
+
+        ``batch_inv=True`` (default) shares one Fermat inversion across the
+        whole batch via the Montgomery trick (GFp.batch_inverse, ~3 mults
+        per lane) instead of a per-lane Fermat power — the reference pays
+        the per-element power (gfp.h:42-44). Pass False under a
+        batch-sharded plain jit where the cross-lane tree would force
+        collectives (shard_map callers keep True: per-shard trees).
+        Lanes at infinity (z == 0) map to (0, 0) either way."""
+        zi = self.z.batch_inverse() if batch_inv else self.z.inverse()
         zi2 = zi.sqr()
         ax = self.x * zi2
         ay = self.y * zi2 * zi

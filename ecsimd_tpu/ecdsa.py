@@ -73,7 +73,15 @@ from ecsimd_tpu.specs import P256, CurveSpec, FieldSpec
 def order_field(curve: CurveSpec) -> FieldSpec:
     """GF(n) for the curve's (prime) group order, Montgomery reduction —
     the scalar field of ECDSA. Built once per curve, like specs' base
-    fields; n is never a Solinas-sparse prime for the supported curves."""
+    fields; n is never a Solinas-sparse prime for the supported curves.
+
+    Requires an EXACT order (CurveSpec.order_exact): with a placeholder
+    order every signature silently fails to round-trip — the r3 footgun
+    that cost a round (CLAUDE.md r4 status)."""
+    assert curve.order_exact, (
+        f"{curve.name}: order is a placeholder (order_exact=False); "
+        "ECDSA/ECDH/MSM need the exact group order"
+    )
     return FieldSpec(
         name=f"{curve.name}-order", p=curve.order,
         nbits=curve.field.nbits, reduction="montgomery",
@@ -145,7 +153,7 @@ def _verify_impl(
     # s == 0 lanes (already marked invalid) would make the Fermat power 0
     # and u2 = 0, which the scalar-mult domain excludes; steer them to 1
     sm = bn.select(bn.is_zero(sm), mont.mont_one(fs_n, sm), sm)
-    wm = mont.mont_pow_const(sm, fs_n.fermat_exponent, fs_n)
+    wm = GFp.from_mont(sm, fs_n).batch_inverse().planes
     em = mont.mont_from_classical(e, fs_n)
     rm = mont.mont_from_classical(r, fs_n)
     u1 = mont.mont_to_classical(mont.mont_mul(em, wm, fs_n), fs_n)
@@ -198,6 +206,51 @@ _verify_jit = functools.partial(
 )(_verify_impl)
 
 
+def verify_planes_sharded(
+    z, r, s, qx, qy, curve: CurveSpec, mesh, axis_name: str = "batch",
+    tile: int | None = None, interpret: bool = False,
+    allow_fast_paths: bool = False,
+):
+    """Batched ECDSA verification sharded over a device mesh: the whole
+    verify pipeline (range checks, on-curve, u1/u2 recovery, the two strict
+    window mults, complete add, projective x check) runs per shard under
+    shard_map — verification is lane-local, so zero collectives
+    (parallel/__init__.py's property). The batch auto-pads to
+    n_devices * tile with lane-0 copies (padding verdicts are sliced off).
+
+    interpret=True (CPU meshes) is toy-scale-test-only: the per-shard XLA
+    window twin compiles pathologically at d = 16 on XLA:CPU.
+    """
+    from ecsimd_tpu import parallel
+    from ecsimd_tpu.kernels import window
+
+    t = window.DEFAULT_TILE if tile is None else tile
+    multiple = mesh.devices.size * (1 if interpret else t)
+    padded = [parallel.pad_batch(a, multiple) for a in (z, r, s, qx, qy)]
+    b_true = padded[0][1]
+    fn = _verify_sharded_fn(mesh, curve, axis_name, t, interpret, allow_fast_paths)
+    ok = fn(*(a for a, _ in padded))
+    return ok[:b_true]
+
+
+@functools.cache
+def _verify_sharded_fn(mesh, curve: CurveSpec, axis_name: str, tile: int,
+                       interpret: bool, allow_fast_paths: bool):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, axis_name)
+    per_shard = functools.partial(
+        _verify_impl, curve=curve, tile=None if interpret else tile,
+        interpret=interpret, allow_fast_paths=allow_fast_paths,
+    )
+    f = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec,) * 5, out_specs=P(axis_name), check_vma=False,
+    )
+    return jax.jit(f)
+
+
 def sign_planes(
     z, d, k, curve: CurveSpec, tile: int | None = None, interpret: bool = False,
     strict: bool = False,
@@ -240,15 +293,19 @@ def _sign_impl(
     ks = bn.select(bn.is_zero(k), jnp.zeros_like(k).at[0].set(1), k)
 
     rp = comb.scalar_mult_base(ks, curve, tile=t, interpret=interpret, strict=strict)
-    # affine x via batched Fermat inversion in GF(p); x mod n by cond-sub
-    zinv = rp.z.inverse()
+    # affine x via ONE batch-shared inversion in GF(p) (Montgomery trick,
+    # GFp.batch_inverse — was a per-lane ~384-mult Fermat power, ~half the
+    # total sign cost); x mod n by cond-sub
+    zinv = rp.z.batch_inverse()
     x_aff = (rp.x * zinv.sqr()).to_classical()
     r = _mod_n(x_aff, fs_n)
     ok = ok & (1 - bn.is_zero(r))
 
     e = _mod_n(z, fs_n)
     km = mont.mont_from_classical(ks, fs_n)
-    kinv = mont.mont_pow_const(km, fs_n.fermat_exponent, fs_n)
+    # k^-1 mod n: batch-shared inversion in GF(n) too (k == 0 lanes were
+    # steered to 1 above; batch_inverse(0) = 0 would match mont_pow_const)
+    kinv = GFp.from_mont(km, fs_n).batch_inverse().planes
     em = mont.mont_from_classical(e, fs_n)
     rm = mont.mont_from_classical(r, fs_n)
     dm = mont.mont_from_classical(d, fs_n)
@@ -261,6 +318,84 @@ def _sign_impl(
 _sign_jit = functools.partial(
     jax.jit, static_argnames=("curve", "tile", "interpret", "strict")
 )(_sign_impl)
+
+
+# --- RFC 6979 deterministic nonces (host-side) --------------------------------
+
+
+def _bits2int(b: bytes, qlen: int) -> int:
+    """RFC 6979 §2.3.2: leftmost qlen bits of the bit string."""
+    x = int.from_bytes(b, "big")
+    blen = len(b) * 8
+    return x >> (blen - qlen) if blen > qlen else x
+
+
+def rfc6979_nonce(h1: bytes, x: int, curve: CurveSpec = P256, hashfunc=None,
+                  extra: bytes = b"") -> int:
+    """RFC 6979 §3.2 deterministic nonce k for private key x and message
+    hash h1 = H(m) (raw digest bytes). Host-side HMAC-DRBG — nonces are
+    per-signature secrets derived before anything touches the device; the
+    device-side signing path stays uniform regardless of how k was made.
+
+    ``hashfunc`` is the HMAC hash (default SHA-256 — the function used for
+    HMAC need not match the one that produced h1, §3.1); ``extra`` is the
+    optional k' additional data (§3.6). Bit-exact against the RFC's A.2.5
+    P-256/SHA-256 vectors (tests/test_rfc6979.py).
+    """
+    import hashlib
+    import hmac as hmac_mod
+
+    hashfunc = hashfunc or hashlib.sha256
+    q = curve.order
+    qlen = q.bit_length()
+    rolen = (qlen + 7) // 8
+    hlen = hashfunc().digest_size
+
+    def int2octets(v: int) -> bytes:
+        return v.to_bytes(rolen, "big")
+
+    def bits2octets(b: bytes) -> bytes:
+        z1 = _bits2int(b, qlen)
+        z2 = z1 - q if z1 >= q else z1
+        return int2octets(z2)
+
+    def hm(key: bytes, msg: bytes) -> bytes:
+        return hmac_mod.new(key, msg, hashfunc).digest()
+
+    v = b"\x01" * hlen
+    k = b"\x00" * hlen
+    seed = int2octets(x) + bits2octets(h1) + extra
+    k = hm(k, v + b"\x00" + seed)
+    v = hm(k, v)
+    k = hm(k, v + b"\x01" + seed)
+    v = hm(k, v)
+    while True:
+        t = b""
+        while len(t) < rolen:
+            v = hm(k, v)
+            t += v
+        kk = _bits2int(t[:rolen], qlen)
+        if 1 <= kk <= q - 1:
+            return kk
+        k = hm(k, v + b"\x00")
+        v = hm(k, v)
+
+
+def sign_hashes(h1s, ds, curve: CurveSpec = P256, deterministic: bool = True,
+                hashfunc=None, **kw):
+    """Batched signing from raw message digests (bytes). deterministic=True
+    derives each lane's nonce per RFC 6979 (host HMAC-DRBG), making
+    signatures reproducible and test-vector-exact; False uses the OS CSPRNG.
+    Returns (rs, ss) int lists."""
+    q = curve.order
+    qlen = q.bit_length()
+    zs = [_bits2int(h, qlen) for h in h1s]
+    if deterministic:
+        ks = [rfc6979_nonce(h, d, curve, hashfunc=hashfunc)
+              for h, d in zip(h1s, ds)]
+    else:
+        ks = None
+    return sign_ints(zs, ds, curve, ks=ks, **kw)
 
 
 # --- host-friendly integer interfaces ----------------------------------------

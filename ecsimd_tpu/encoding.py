@@ -49,10 +49,10 @@ def points_from_bytes(blobs, curve: CurveSpec) -> tuple[AffinePoint, np.ndarray]
     """SEC1 octet strings -> (AffinePoint batch, (B,) ok mask).
 
     Accepts mixed compressed/uncompressed entries in one batch. Compressed
-    lanes decompress through the batched field square root (p = 3 mod 4
-    curves only — Wei25519's p = 1 mod 4 has no sqrt path, same restriction
-    as the reference's gfp.h:84 static_assert); uncompressed lanes are
-    validated with the SP 800-56A partial public-key checks."""
+    lanes decompress through the batched field square root — any odd prime
+    (GFp.sqrt dispatches p = 3 mod 4 / p = 5 mod 8 / Tonelli-Shanks; the
+    reference's gfp.h:84 static_assert allows only the first). Uncompressed
+    lanes are validated with the SP 800-56A partial public-key checks."""
     from ecsimd_tpu.ecdh import validate_public
 
     length = coordinate_bytes(curve)

@@ -186,16 +186,109 @@ class GFp:
         """Fermat inversion x^(p-2) (gfp.h:42-44). inverse(0) = 0."""
         return self.pow_const(self.fs.fermat_exponent)
 
+    def batch_inverse(self) -> "GFp":
+        """Montgomery-trick batch inversion over the batch axis.
+
+        Every lane's inverse for ~3 field mults per lane plus ONE Fermat
+        inversion of the whole-batch product, vs the per-lane Fermat power
+        (``inverse``, ~1.5*nbits mults per lane — the reference's only
+        strategy, gfp.h:42-44). inverse(0) = 0 per lane, same as ``inverse``
+        (zero lanes are masked to 1 inside the product so they don't
+        annihilate it, and masked back to 0 on the way out).
+
+        TPU shape: a pairwise product tree down the batch axis (log2 B
+        levels of halving-width field mults, ~B lane-mults total), the
+        Fermat chain at the 1-lane root, then the standard unwind
+        (inv_left = inv_parent * right, inv_right = inv_parent * left;
+        ~2B lane-mults) — every level a full-width vectorized plane op, no
+        gathers. NOTE: the tree mixes lanes across the batch axis, so under
+        a batch-sharded jit XLA will insert collectives; shard_map callers
+        get a per-shard tree for free (each shard inverts locally).
+        """
+        fs = self.fs
+        planes = self.planes
+        batch_shape = planes.shape[1:]
+        d = planes.shape[0]
+        flat = planes.reshape(d, -1)
+        b = flat.shape[1]
+        if b == 1:
+            return GFp(self.inverse().planes.reshape(planes.shape), fs)
+
+        zero = bn.is_zero(flat)
+        one_col = _one_planes(fs, flat[:, :1])
+        a = bn.select(zero, jnp.broadcast_to(one_col, flat.shape), flat)
+
+        # pad to a power of two with multiplicative identities
+        bp = 1 << (b - 1).bit_length()
+        if bp != b:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(one_col, (d, bp - b))], axis=1
+            )
+
+        pairs = []
+        cur = a
+        while cur.shape[1] > 1:
+            left, right = cur[:, 0::2], cur[:, 1::2]
+            pairs.append((left, right))
+            cur = _mul_planes(left, right, fs)
+
+        inv = _pow_const_planes(cur, fs.fermat_exponent, fs)
+        for left, right in reversed(pairs):
+            inv_l = _mul_planes(inv, right, fs)
+            inv_r = _mul_planes(inv, left, fs)
+            inv = jnp.stack([inv_l, inv_r], axis=2).reshape(d, -1)
+
+        inv = inv[:, :b]
+        out = bn.select(zero, jnp.zeros_like(flat), inv)
+        return GFp(out.reshape(planes.shape), fs)
+
     def sqrt(self) -> tuple["GFp", jax.Array]:
-        """Per-lane square root x^((p+1)/4), p = 3 mod 4 (gfp.h:46-54,84-87).
+        """Per-lane square root, any odd prime — beyond the reference, whose
+        sqrt static_asserts p = 3 (mod 4) (gfp.h:46-54,84-87).
+
+        Dispatch (host-side, on public field constants):
+          p = 3 (mod 4): x^((p+1)/4) — the reference's only case.
+          p = 5 (mod 8): Atkin — r = x^((p+3)/8); if r^2 == -x multiply by
+            sqrt(-1) (trace-time constant). Wei25519's 2^255 - 19 lands here.
+          else: uniform-control-flow Tonelli-Shanks (masked selects per
+            round, fixed s-round schedule — no data-dependent trips).
 
         Returns (root, ok_mask): ok is 0 on non-residue lanes (the reference
         collapses any-lane failure to nullopt; batched per-lane masks are the
-        TPU-native shape of that optional).
+        TPU-native shape of that optional). sqrt(0) = 0 with ok = 1.
         """
-        r = self.pow_const(self.fs.sqrt_exponent)
+        fs = self.fs
+        kind = fs.sqrt_kind
+        if kind == "p3mod4":
+            r = self.pow_const(fs.sqrt_exponent)
+        elif kind == "p5mod8":
+            r = self.pow_const((fs.p + 3) // 8)
+            fixed = r * self.const_like(fs.sqrt_m1)
+            r = r.select(bn.cmp_eq(r.sqr().planes, self.planes), fixed)
+        else:
+            r = self._tonelli_shanks()
         ok = bn.cmp_eq(r.sqr().planes, self.planes)
         return r, ok
+
+    def _tonelli_shanks(self) -> "GFp":
+        """Constant-time Tonelli-Shanks (the RFC 9380 general-case shape):
+        fixed s-1 rounds, per-lane masked multiplies. ~2 full exponent
+        chains + s^2/2 squarings; s is small for random primes."""
+        fs = self.fs
+        q, s, c_int = fs.ts_params
+        c = self.const_like(c_int)
+        t = self.pow_const(q)
+        r = self.pow_const((q + 1) // 2)
+        one = _one_planes(fs, self.planes)
+        for i in range(s, 1, -1):
+            b = t
+            for _ in range(i - 2):
+                b = b.sqr()
+            e = bn.cmp_eq(b.planes, one)  # b == 1: this round is a no-op
+            r = r.select(e, r * c)
+            c = c.sqr()
+            t = t.select(e, t * c)
+        return r
 
     # -- predicates / selection ------------------------------------------------
 

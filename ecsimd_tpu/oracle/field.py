@@ -67,9 +67,31 @@ def mont_inverse(am: int, fs: FieldSpec) -> int:
 
 
 def mont_sqrt(am: int, fs: FieldSpec) -> int | None:
-    """x^((p+1)/4) for p = 3 mod 4, or None if x is a non-residue
-    (reference gfp.h:46-54, verified by squaring back)."""
-    r = mont_pow(am, fs.sqrt_exponent, fs)
+    """Square root or None for non-residues (reference gfp.h:46-54 covers
+    only p = 3 mod 4; this oracle mirrors field.GFp.sqrt's full dispatch,
+    verified by squaring back)."""
+    kind = fs.sqrt_kind
+    if kind == "p3mod4":
+        r = mont_pow(am, fs.sqrt_exponent, fs)
+    elif kind == "p5mod8":
+        r = mont_pow(am, (fs.p + 3) // 8, fs)
+        if mont_mul(r, r, fs) != am % fs.p:
+            r = mont_mul(r, mont_from_classical(fs.sqrt_m1, fs), fs)
+    else:
+        q, s, c = fs.ts_params
+        x = mont_to_classical(am, fs)
+        p = fs.p
+        t, r = pow(x, q, p), pow(x, (q + 1) // 2, p)
+        for i in range(s, 1, -1):
+            b = t
+            for _ in range(i - 2):
+                b = b * b % p
+            if b != 1:
+                r = r * c % p
+            c = c * c % p
+            if b != 1:
+                t = t * c % p
+        r = mont_from_classical(r, fs)
     if mont_mul(r, r, fs) != am % fs.p:
         return None
     return r

@@ -111,6 +111,43 @@ class FieldSpec:
         assert self.p % 4 == 3, "sqrt exponent requires p = 3 (mod 4)"
         return (self.p + 1) // 4
 
+    # --- p = 1 (mod 4) square-root constants -------------------------------
+    # Beyond the reference (gfp.h:84-87 static_asserts p = 3 mod 4 and
+    # supports nothing else): every odd prime gets a sqrt path. p = 5 (mod 8)
+    # uses the Atkin shape x^((p+3)/8) with a sqrt(-1) fixup (Wei25519);
+    # anything else falls back to uniform-control-flow Tonelli-Shanks.
+
+    @functools.cached_property
+    def sqrt_kind(self) -> str:
+        if self.p % 4 == 3:
+            return "p3mod4"
+        if self.p % 8 == 5:
+            return "p5mod8"
+        return "tonelli"
+
+    @functools.cached_property
+    def sqrt_m1(self) -> int:
+        """sqrt(-1) mod p for p = 5 (mod 8): 2 is a non-residue there
+        (2 is a QR iff p = +-1 mod 8), so 2^((p-1)/4) is a primitive
+        4th root of unity."""
+        assert self.p % 8 == 5
+        return pow(2, (self.p - 1) // 4, self.p)
+
+    @functools.cached_property
+    def ts_params(self) -> tuple[int, int, int]:
+        """(q, s, c) for Tonelli-Shanks: p - 1 = q * 2^s with q odd, and
+        c = z^q mod p for the smallest quadratic non-residue z — all
+        host-side; the device never exponentiates by a secret."""
+        p = self.p
+        q, s = p - 1, 0
+        while q % 2 == 0:
+            q //= 2
+            s += 1
+        z = 2
+        while pow(z, (p - 1) // 2, p) != p - 1:
+            z += 1
+        return q, s, pow(z, q, p)
+
 
 @dataclasses.dataclass(frozen=True)
 class CurveSpec:
@@ -131,6 +168,14 @@ class CurveSpec:
     gx: int
     gy: int
     order: int
+    # True when ``order`` is the exact group order of <G>. Test-only toy
+    # curves may carry an odd placeholder (the ladder/window algorithms never
+    # consult the value) and must set False — every path whose ARITHMETIC
+    # uses the order (the ECDSA mod-n scalar field, ECDH range checks, MSM)
+    # asserts this at trace time, so a placeholder order fails loudly
+    # instead of producing silently-wrong protocol results (the r3 ECDSA
+    # footgun, CLAUDE.md r4 status).
+    order_exact: bool = True
 
     def __post_init__(self):
         p = self.field.p
@@ -251,9 +296,9 @@ P521 = CurveSpec(
 # an independent naive Jacobian implementation). The spec's order is the odd
 # prime-order subgroup order l = 2^252 + 27742...493 (the full group has
 # cofactor 8; the generator below generates the order-l subgroup, satisfying
-# the framework's odd-order requirement). p = 1 (mod 4): sqrt/decompression
-# is unavailable (FieldSpec.sqrt_exponent asserts), scalar mult paths all
-# work (generic-a group law + the Crandall fold field, cc = 38).
+# the framework's odd-order requirement). p = 5 (mod 8): sqrt/decompression
+# runs through the Atkin path (FieldSpec.sqrt_kind "p5mod8"); scalar mult
+# paths all work (generic-a group law + the Crandall fold field, cc = 38).
 W25519_FIELD = FieldSpec(
     name="w25519",
     p=(1 << 255) - 19,

@@ -1,19 +1,32 @@
-"""Hardware KATs for the r3 kernel variants on the real TPU chip.
+"""Hardware KATs on the real TPU chip: every (curve, kernel) pair that
+claims TPU support, verified lane-by-lane against the Python-int oracle.
 
-Covers what the CPU suite can only reach in interpret/eager mode:
-  1. secp256k1 fixed-base comb kernel (Montgomery/CIOS in-kernel reduction,
-     a = 0 general doubling in the host tables)
-  2. strict-CT P-256 window kernel (complete accumulation adds), including
-     the adversarial scalars k = n-2 (fast-path degenerate) and k = n-1
-     (passes through infinity; outside even the ladder's domain)
+The CPU suite reaches these paths only in interpret/eager mode; this is the
+on-Mosaic proof. Matrix (VERDICT r4 item 3):
 
-Each block verifies every lane against the Python-int oracle and prints a
-PASS line. Run from /root/repo with the tunnel up.
+  curve      x  ladder  window  window-strict  comb  comb-strict
+  P-256           .        .         x           x        x      (. = r3/r4 covered)
+  secp256k1       x        x         -           x        -      (a = 0 general dbl)
+  P-384           x        x         -           x        -
+  P-521           x        x         -           x        -      (d = 33: the VMEM shape risk)
+  Wei25519        x        x         -           x        -      (generic a, crandall)
+
+Each cell runs LANES lanes (default 128) of distinct random scalars against
+the oracle and prints PASS/FAIL; Mosaic/compile failures are caught and
+reported as EXCLUDED(reason) so one broken shape doesn't hide the rest.
+Exit code 0 iff every attempted cell passes (excludes count as failures
+unless ALLOW_EXCLUDE=1).
+
+Env: KAT_LANES (128), KAT_TILE (128), KAT_CELLS (comma list like
+"p521:window,wei25519:comb"; default full matrix), ALLOW_EXCLUDE.
+Run from /root/repo with the tunnel up; fresh Mosaic compiles can take
+minutes per cell cold (cached in .jax_cache afterwards).
 """
 
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -33,59 +46,179 @@ def main():
     import jax.numpy as jnp
 
     from ecsimd_tpu import api, convert
-    from ecsimd_tpu.kernels import comb
-    from ecsimd_tpu.oracle import coz, window as ow
-    from ecsimd_tpu.specs import P256, SECP256K1
+    from ecsimd_tpu.curves.point import AffinePoint, JacobianPoint
+    from ecsimd_tpu.kernels import comb, ladder, window
+    from ecsimd_tpu.oracle import coz
+    from ecsimd_tpu.oracle import window as ow
+    from ecsimd_tpu.specs import P256, P384, P521, SECP256K1, WEI25519
 
     print(f"devices: {jax.devices()}", flush=True)
-    rng = np.random.default_rng(0xEC53)
+    lanes = int(os.environ.get("KAT_LANES", "128"))
+    tile = int(os.environ.get("KAT_TILE", "128"))
+    rng = np.random.default_rng(0xEC55)
 
-    # --- 1. secp256k1 comb kernel ------------------------------------------
-    curve = SECP256K1
-    ks = [1, 2, 5, curve.order - 2] + [
-        int.from_bytes(rng.bytes(32), "little") % curve.order or 1 for _ in range(124)
+    curves = {
+        "p256": P256, "secp256k1": SECP256K1, "p384": P384,
+        "p521": P521, "wei25519": WEI25519,
+    }
+    default_cells = [
+        # the r3/r4-covered P-256 cells re-run as canaries, plus the full
+        # r4-curve matrix that had zero hardware coverage
+        "p256:window_strict", "p256:comb", "p256:comb_strict",
+        "secp256k1:ladder", "secp256k1:window", "secp256k1:comb",
+        "secp256k1:glv",
+        "p384:ladder", "p384:window", "p384:comb",
+        "p521:ladder", "p521:window", "p521:comb",
+        "wei25519:ladder", "wei25519:window", "wei25519:comb",
     ]
-    scalars = jnp.asarray(convert.ints_to_planes(ks, curve.field.ndigits))
-    t0 = time.perf_counter()
-    res = comb.scalar_mult_base(scalars, curve, tile=128)
-    aff = res.to_affine()
-    gx = convert.planes_to_ints(np.asarray(aff.x))
-    gy = convert.planes_to_ints(np.asarray(aff.y))
-    want = [coz.scalar_mult_affine(k, curve.gx, curve.gy, curve) for k in ks]
-    bad = sum(1 for i in range(len(ks)) if (gx[i], gy[i]) != want[i])
-    print(
-        f"secp256k1 comb kernel: {len(ks)} lanes, bad={bad} "
-        f"({time.perf_counter()-t0:.1f}s incl. compile)",
-        flush=True,
-    )
-    assert bad == 0
+    cells = os.environ.get("KAT_CELLS", ",".join(default_cells)).split(",")
 
-    # --- 2. strict-CT P-256 window kernel (adversarial scalars) -------------
-    n = P256.order
-    p = P256.field.p
-    ks = [n - 2, n - 1, 1, 2] + [
-        int.from_bytes(rng.bytes(32), "little") % n or 1 for _ in range(124)
-    ]
-    g2 = coz.jacobian_to_affine(ow._jac_dbl((P256.gx, P256.gy, 1), P256), P256)
-    want = [(g2[0], (p - g2[1]) % p), (P256.gx, (p - P256.gy) % p)] + [
-        coz.scalar_mult_affine(k, P256.gx, P256.gy, P256) for k in ks[2:]
-    ]
-    pts = api.generator_batch(P256, len(ks))
-    t0 = time.perf_counter()
-    res = api.scalar_mult_fast(
-        jnp.asarray(convert.ints_to_planes(ks, P256.field.ndigits)), pts,
-        tile=128, strict=True,
-    )
-    gx = convert.planes_to_ints(np.asarray(res.x))
-    gy = convert.planes_to_ints(np.asarray(res.y))
-    bad = sum(1 for i in range(len(ks)) if (gx[i], gy[i]) != want[i])
-    print(
-        f"strict P-256 window kernel (incl. k=n-1, n-2): {len(ks)} lanes, bad={bad} "
-        f"({time.perf_counter()-t0:.1f}s incl. compile)",
-        flush=True,
-    )
-    assert bad == 0
-    print("ALL HARDWARE KATS PASS")
+    def run_cell(curve, algo: str):
+        d = curve.field.ndigits
+        n = curve.order
+        ks = [1, 2, 5, n - 2] + [
+            int.from_bytes(rng.bytes((curve.field.nbits + 7) // 8), "little")
+            % n or 1 for _ in range(lanes - 4)
+        ]
+        if algo.startswith("window") and not algo.endswith("strict"):
+            # plain window has the documented measure-zero degenerate class
+            # (k = n - 2 among them); keep those lanes for strict only
+            ks[3] = 7
+        scalars = jnp.asarray(convert.ints_to_planes(ks, d))
+        g = api.generator_batch(curve, lanes)
+        jg = JacobianPoint.from_affine(g)
+        if algo == "ladder":
+            res = ladder._run_padded(
+                ladder.ladder_mont_planes, scalars, jg, tile, False)
+        elif algo in ("window", "window_strict"):
+            import functools
+
+            fn = functools.partial(
+                window.window_mont_planes, strict=algo.endswith("strict"))
+            res = ladder._run_padded(fn, scalars, jg, tile, False)
+        elif algo == "glv":
+            from ecsimd_tpu.kernels import glv as kglv
+
+            res = kglv.scalar_mult(scalars, jg, tile=tile, strict=True)
+        elif algo in ("comb", "comb_strict"):
+            res = comb.scalar_mult_base(
+                scalars, curve, tile=min(tile, lanes),
+                strict=algo.endswith("strict"))
+        else:
+            raise ValueError(algo)
+        aff = res.to_affine()
+        gx = convert.planes_to_ints(np.asarray(aff.x))
+        gy = convert.planes_to_ints(np.asarray(aff.y))
+        want = [coz.scalar_mult_affine(k, curve.gx, curve.gy, curve) for k in ks]
+        if algo == "window":
+            # exclude oracle-degenerate lanes from the plain-window check
+            keep = []
+            for i, k in enumerate(ks):
+                try:
+                    ow.scalar_mult(k, (curve.gx, curve.gy, 1), curve)
+                    keep.append(i)
+                except ZeroDivisionError:
+                    pass
+        else:
+            keep = range(lanes)
+        bad = [i for i in keep if (gx[i], gy[i]) != want[i]]
+        return len(list(keep)), bad
+
+    results = {}
+    for cell in cells:
+        cname, algo = cell.split(":")
+        curve = curves[cname]
+        t0 = time.perf_counter()
+        try:
+            checked, bad = run_cell(curve, algo)
+            dt = time.perf_counter() - t0
+            if bad:
+                results[cell] = f"FAIL lanes {bad[:5]}..."
+                print(f"{cell}: FAIL {len(bad)}/{checked} bad ({dt:.0f}s)", flush=True)
+            else:
+                results[cell] = "PASS"
+                print(f"{cell}: PASS {checked} lanes ({dt:.0f}s incl. compile)", flush=True)
+        except Exception as e:
+            dt = time.perf_counter() - t0
+            results[cell] = f"EXCLUDED({type(e).__name__})"
+            print(f"{cell}: EXCLUDED after {dt:.0f}s — {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            traceback.print_exc(limit=3)
+
+    # --- sharded-path execution on a real-device mesh ---------------------
+    # XLA:CPU cannot execute the per-shard window twin under the mesh jit
+    # (tests/test_parallel.py lowering tests document the pathology), so the
+    # strict sharded window + mesh ECDSA verify run their bit-exact checks
+    # HERE, over a Mesh of the available chips (1 on this host — the specs
+    # and collectives are identical at any mesh size; the 8-way case is
+    # lowering-checked on the CPU mesh and dryrun-compiled by the driver).
+    if os.environ.get("KAT_SHARDED", "1") == "1":
+        from ecsimd_tpu import ecdsa, parallel
+        from ecsimd_tpu.oracle import ecdsa as oecdsa
+
+        mesh = parallel.make_mesh(jax.devices())
+        curve = P256
+        d = curve.field.ndigits
+        n = curve.order
+        for cell, fn in (("p256:window_sharded_strict", None),
+                         ("p256:verify_sharded", None)):
+            t0 = time.perf_counter()
+            try:
+                if cell == "p256:window_sharded_strict":
+                    ks = [1, 2, n - 1, n - 2] + [
+                        int.from_bytes(rng.bytes(32), "little") % n or 1
+                        for _ in range(lanes - 4)]
+                    sc = jnp.asarray(convert.ints_to_planes(ks, d))
+                    jg = JacobianPoint.from_affine(api.generator_batch(curve, lanes))
+                    res = parallel.scalar_mult_fast_sharded(
+                        sc, jg, mesh, tile=tile, strict=True)
+                    aff = res.to_affine()
+                    gx = convert.planes_to_ints(np.asarray(aff.x))
+                    gy = convert.planes_to_ints(np.asarray(aff.y))
+                    want = [coz.naive_scalar_mult(k, curve.gx, curve.gy, curve)
+                            for k in ks]
+                    bad = [i for i in range(lanes) if (gx[i], gy[i]) != want[i]]
+                else:
+                    zs, rs_, ss_, qxs, qys, expect = [], [], [], [], [], []
+                    for i in range(lanes):
+                        dk_ = rng.integers(1, 1 << 62)
+                        dk_ = int(dk_) + 1
+                        qx, qy = oecdsa.keypair(dk_, curve)
+                        z = int.from_bytes(rng.bytes(32), "little")
+                        sig = None
+                        while sig is None:
+                            kk = int.from_bytes(rng.bytes(32), "little") % (n - 1) + 1
+                            sig = oecdsa.sign(z, dk_, kk, curve)
+                        r_, s_ = sig
+                        if i % 5 == 3:
+                            s_ = (s_ + 1) % n or 1  # tamper every 5th lane
+                        zs.append(z); rs_.append(r_); ss_.append(s_)
+                        qxs.append(qx); qys.append(qy)
+                        expect.append(i % 5 != 3)
+                    pls = [jnp.asarray(convert.ints_to_planes(v, d))
+                           for v in (zs, rs_, ss_, qxs, qys)]
+                    ok = ecdsa.verify_planes_sharded(*pls, curve, mesh, tile=tile)
+                    got = [bool(v) for v in np.asarray(ok)]
+                    bad = [i for i in range(lanes) if got[i] != expect[i]]
+                dt = time.perf_counter() - t0
+                results[cell] = "PASS" if not bad else f"FAIL lanes {bad[:5]}"
+                print(f"{cell}: {'PASS' if not bad else 'FAIL'} {lanes} lanes "
+                      f"({dt:.0f}s incl. compile)", flush=True)
+            except Exception as e:
+                results[cell] = f"EXCLUDED({type(e).__name__})"
+                print(f"{cell}: EXCLUDED — {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+                traceback.print_exc(limit=3)
+
+    npass = sum(1 for v in results.values() if v == "PASS")
+    print(f"\nmatrix: {npass}/{len(results)} PASS", flush=True)
+    for cell, v in results.items():
+        if v != "PASS":
+            print(f"  {cell}: {v}", flush=True)
+    fail = [v for v in results.values() if v != "PASS"]
+    if fail and not os.environ.get("ALLOW_EXCLUDE"):
+        sys.exit(1)
+    print("ALL HARDWARE KATS PASS" if not fail else "PASS WITH EXCLUSIONS")
 
 
 if __name__ == "__main__":

@@ -80,7 +80,9 @@ def test_plan_proofs_hold(fs):
     """The trace-time interval proofs accept the grid bounds actually used."""
     d = fs.ndigits
     for scale in (1, 8):
-        plan = crandall._plan(fs, 2 * d + 1, scale << 22)
+        # the PRODUCTION bound (grid_col_bound), not a weaker stand-in:
+        # (2d+2)*scale*2^16 exceeds scale<<22 for P-521 (ADVICE r4)
+        plan = crandall._plan(fs, 2 * d + 1, crandall.grid_col_bound(fs, scale))
         assert plan.nbitfold >= 1  # 2^nbits >> 2p for these fields
         assert plan.cc == (1 << fs.nbits) % fs.p
 
@@ -105,3 +107,20 @@ def test_gfp_plain_domain(rng):
         g = GFp.from_classical(make_planes(vals, fs.ndigits), fs)
         assert planes_to_ints(g.planes) == vals  # identity conversion
         assert planes_to_ints((g * g.inverse()).to_classical()) == [1] * 4
+
+
+def test_default_fori_ladder_crandall(rng):
+    """The PRODUCTION fori_loop ladder graph over a Crandall field, compiled
+    and run (d = 4 TOYC compiles in seconds on XLA:CPU). The big crandall
+    curves (P-521/Wei25519) run host_loop in this suite for compile-RSS
+    reasons (CLAUDE.md), which would otherwise leave the default ladder path
+    over crandall fields with zero CPU compile coverage (ADVICE r4)."""
+    from ecsimd_tpu import api
+    from ecsimd_tpu.oracle import coz
+    from tests.toy import TOYC
+
+    ks = [rng.randrange(1, TOYC.p // 2) for _ in range(4)]
+    g = api.generator_batch(TOYC, len(ks))
+    res = api.scalar_mult(api.scalars_from_ints(ks, TOYC), g)
+    got = list(zip(planes_to_ints(res.x), planes_to_ints(res.y)))
+    assert got == [coz.scalar_mult_affine(k, TOYC.gx, TOYC.gy, TOYC) for k in ks]

@@ -11,7 +11,7 @@ import pytest
 from ecsimd_tpu import api, convert, ecdh
 from ecsimd_tpu.oracle import coz
 from ecsimd_tpu.specs import P256
-from tests.toy import TOY64
+from tests.toy import TOY64E
 
 
 def _planes(vals, curve):
@@ -23,7 +23,7 @@ def test_ecdh_toy_device(rng):
     through the comb, shared secret through the strict window kernel,
     invalid lanes (zero scalar, out-of-range scalar, off-curve peer,
     non-canonical coordinate) rejected in-batch."""
-    curve = TOY64
+    curve = TOY64E
     lanes = 16
     ds = [rng.randrange(1, 1 << 62) for _ in range(lanes)]
     es = [rng.randrange(1, 1 << 62) for _ in range(lanes)]

@@ -109,7 +109,7 @@ def test_uncompressed_offcurve_rejected(rng):
 
 
 def test_wei25519_uncompressed_roundtrip(rng):
-    """p = 1 mod 4: no sqrt path, but uncompressed decode must work."""
+    """p = 1 mod 4 uncompressed decode (no sqrt involved)."""
     pts = _points(WEI25519, rng, 3)
     blobs = encoding.points_to_bytes(_batch(pts, WEI25519), compressed=False)
     dec, ok = encoding.points_from_bytes(blobs, WEI25519)
@@ -117,3 +117,34 @@ def test_wei25519_uncompressed_roundtrip(rng):
     got = list(zip(convert.planes_to_ints(np.asarray(dec.x)),
                    convert.planes_to_ints(np.asarray(dec.y))))
     assert got == pts
+
+
+def test_wei25519_compressed_roundtrip(rng):
+    """p = 5 mod 8 compressed decode through the Atkin sqrt (beyond the
+    reference's p = 3 mod 4 static_assert, gfp.h:84-87)."""
+    pts = _points(WEI25519, rng, 4)
+    blobs = encoding.points_to_bytes(_batch(pts, WEI25519), compressed=True)
+    dec, ok = encoding.points_from_bytes(blobs, WEI25519)
+    assert ok.all()
+    got = list(zip(convert.planes_to_ints(np.asarray(dec.x)),
+                   convert.planes_to_ints(np.asarray(dec.y))))
+    assert got == pts
+
+
+def test_wei25519_compressed_nonresidue_rejected(rng):
+    """A compressed x whose rhs is a non-residue must fail cleanly (ok = 0,
+    zeroed coords) — the advisor's r4 crash repro, now a decode."""
+    p = WEI25519.p
+    while True:
+        x = rng.randrange(2, p)
+        rhs = (x * x * x + WEI25519.a * x + WEI25519.b) % p
+        if pow(rhs, (p - 1) // 2, p) == p - 1:
+            break
+    length = encoding.coordinate_bytes(WEI25519)
+    good = _points(WEI25519, rng, 1)[0]
+    blobs = [bytes([0x02]) + x.to_bytes(length, "big"),
+             bytes([0x03]) + good[0].to_bytes(length, "big")]
+    dec, ok = encoding.points_from_bytes(blobs, WEI25519)
+    assert list(ok) == [False, True]
+    assert convert.planes_to_ints(np.asarray(dec.x))[0] == 0
+    assert convert.planes_to_ints(np.asarray(dec.y))[0] == 0

@@ -28,6 +28,7 @@ TOY64 = CurveSpec(
     gx=1,
     gy=2,
     order=GOLDILOCKS.p,  # placeholder odd value; see module docstring
+    order_exact=False,
 )
 
 
@@ -50,6 +51,7 @@ TOYM = CurveSpec(
     gx=1,
     gy=2,
     order=MONT64.p,  # placeholder odd value, as TOY64
+    order_exact=False,
 )
 
 
@@ -64,6 +66,7 @@ TOYA5 = CurveSpec(
     gx=1,
     gy=2,
     order=MONT64.p,  # placeholder odd value, as TOY64
+    order_exact=False,
 )
 
 
@@ -80,6 +83,7 @@ TOYA5S = CurveSpec(
     gx=1,
     gy=2,
     order=GOLDILOCKS.p,  # placeholder odd value, as TOY64
+    order_exact=False,
 )
 
 
@@ -102,6 +106,7 @@ TOYC = CurveSpec(
     gx=1,
     gy=2,
     order=CRAN64.p,  # placeholder odd value, as TOY64
+    order_exact=False,
 )
 
 
@@ -120,4 +125,44 @@ TOY64E = CurveSpec(
     gx=5,
     gy=1762323685373532378,
     order=0xFFFFFFFEA209ADB5,
+)
+
+
+# Toy *Tonelli-Shanks* field: p = 2^64 - 95 is prime with p = 1 (mod 8)
+# (2-adicity s = 5), so the general Tonelli-Shanks sqrt path — the one
+# shape neither the p = 3 (mod 4) exponent nor the Atkin p = 5 (mod 8)
+# trick covers — runs its masked 4-round schedule at 4 digits. Montgomery
+# reduction (no Solinas/Crandall structure). Field-only: sqrt tests need no
+# curve on top.
+TS64 = FieldSpec(
+    name="ts64",
+    p=(1 << 64) - 95,
+    nbits=64,
+    reduction="montgomery",
+)
+
+
+# Toy *GLV* curve: j-invariant 0 (a = 0) over the 32-bit prime
+# p = 0xFFFFFEC5 = 1 (mod 3), with EXACT prime order n = 0xFFFF9403 = 1
+# (mod 3) — the shape the GLV endomorphism split (ecsimd_tpu/glv.py)
+# requires, at 2 digits so the unrolled GLV XLA twin runs in seconds on
+# CPU. Found by scripts/find_toy_glv_curve.py's Cornacchia variant: the 6
+# twist orders of y^2 = x^3 + b over p = a^2 + 3b^2 are known analytically;
+# b = 13 selects the twist whose (prime) order is odd and 1 mod 3, verified
+# by N*G = inf, (N-1)*G != inf.
+GLV32 = FieldSpec(
+    name="glv32",
+    p=0xFFFFFEC5,
+    nbits=32,
+    reduction="montgomery",
+)
+
+TOYGLV = CurveSpec(
+    name="toy-glv32",
+    field=GLV32,
+    a=0,
+    b=13,
+    gx=2,
+    gy=213086585,
+    order=0xFFFF9403,
 )
