@@ -110,7 +110,7 @@ def _on_curve(qx: GFp, qy: GFp, curve: CurveSpec):
 def verify_planes(
     z, r, s, qx, qy, curve: CurveSpec,
     tile: int | None = None, interpret: bool = False,
-    allow_fast_paths: bool = False,
+    allow_fast_paths: bool = False, glv: bool | None = None,
 ):
     """Batched ECDSA verification on classical digit planes.
 
@@ -120,18 +120,29 @@ def verify_planes(
     security rationale. interpret=True (CPU testing) dispatches eagerly —
     XLA:CPU cannot compile the traced interpret-kernel graph shape in
     reasonable time (same pathology comb.scalar_mult_base documents).
+    ``glv``: route the scalar mults through the GLV endomorphism kernel
+    (None = auto on capable curves, i.e. secp256k1; ~1.2x).
     """
     fn = _verify_impl if interpret else _verify_jit
     return fn(z, r, s, qx, qy, curve, tile=tile, interpret=interpret,
-              allow_fast_paths=allow_fast_paths)
+              allow_fast_paths=allow_fast_paths, glv=glv)
 
 
 def _verify_impl(
     z, r, s, qx, qy, curve: CurveSpec,
     tile: int | None = None, interpret: bool = False,
-    allow_fast_paths: bool = False,
+    allow_fast_paths: bool = False, glv: bool | None = None,
 ):
+    from ecsimd_tpu.glv import glv_capable
     from ecsimd_tpu.kernels import comb, window
+
+    # GLV routing (r5): on j-invariant-0 curves (secp256k1) the strict
+    # double-scalar endomorphism kernel does the same total-domain
+    # multiplication in ~1.3x fewer field ops (kernels/glv.py); verify is
+    # two scalar mults, so it inherits the whole gain. None = auto.
+    use_glv = glv_capable(curve) if glv is None else glv
+    if use_glv:
+        assert glv_capable(curve), f"{curve.name} has no GLV endomorphism"
 
     fs = curve.field
     fs_n = order_field(curve)
@@ -166,6 +177,18 @@ def _verify_impl(
     u1s = bn.select(u1_zero, one, u1)
 
     strict = not allow_fast_paths
+    if use_glv:
+        from ecsimd_tpu.kernels import glv as kglv
+
+        def varbase(scal, jac, st):
+            return kglv.scalar_mult(scal, jac, tile=t, interpret=interpret,
+                                    strict=st)
+    else:
+
+        def varbase(scal, jac, st):
+            return window.scalar_mult(scal, jac, tile=t, interpret=interpret,
+                                      strict=st)
+
     if strict:
         gb = AffinePoint(
             jnp.broadcast_to(
@@ -176,13 +199,11 @@ def _verify_impl(
             ),
             curve,
         )
-        s1 = window.scalar_mult(
-            u1s, JacobianPoint.from_affine(gb), tile=t, interpret=interpret,
-            strict=True)
+        s1 = varbase(u1s, JacobianPoint.from_affine(gb), True)
     else:
         s1 = comb.scalar_mult_base(u1s, curve, tile=t, interpret=interpret)
     q_jac = JacobianPoint.from_affine(AffinePoint(qx, qy, curve))
-    s2 = window.scalar_mult(u2, q_jac, tile=t, interpret=interpret, strict=strict)
+    s2 = varbase(u2, q_jac, strict)
 
     # u1 == 0 lanes: replace S1 with infinity so R = S2 (complete add)
     z1 = s1.z.select(1 - u1_zero, s1.z.const_like(0))
@@ -202,7 +223,8 @@ def _verify_impl(
 
 
 _verify_jit = functools.partial(
-    jax.jit, static_argnames=("curve", "tile", "interpret", "allow_fast_paths")
+    jax.jit,
+    static_argnames=("curve", "tile", "interpret", "allow_fast_paths", "glv"),
 )(_verify_impl)
 
 

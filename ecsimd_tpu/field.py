@@ -66,6 +66,51 @@ def _pow_const_planes(am, e: int, fs: FieldSpec):
     return lax.fori_loop(1, nb, body, am)
 
 
+def _pow_const_planes_unrolled(am, e: int, fs: FieldSpec, w: int = 4):
+    """Trace-time-unrolled fixed-window power for a PUBLIC exponent.
+
+    The rolled loop above issues (sqr + mul + select) per bit — ~2 serial
+    field ops/bit — because the bit value is only known on device. But e is
+    a Python int at trace time, so the window values are compile-time
+    literals: unrolling gives sqr-per-bit plus one mul per NONZERO window
+    and zero selects — ~1.2 serial ops/bit, ~1.7x shorter critical path.
+    Used where the power runs at tiny batch and is therefore launch-latency
+    bound (the batch_inverse tree root: one (D, 1) Fermat chain gates the
+    whole batch); the rolled form stays the default elsewhere to keep
+    traced graphs small."""
+    if e == 0:
+        return _one_planes(fs, am)
+    if e == 1:
+        return am
+    # odd-power table a^1, a^3, ..., a^(2^w - 1)
+    a2 = _sqr_planes(am, fs)
+    tbl = {1: am}
+    for i in range(3, 1 << w, 2):
+        tbl[i] = _mul_planes(tbl[i - 2], a2, fs)
+    # left-to-right sliding window over e's bits
+    bits = bin(e)[2:]
+    i, n = 0, len(bits)
+    acc = None
+    while i < n:
+        if bits[i] == "0":
+            if acc is not None:
+                acc = _sqr_planes(acc, fs)
+            i += 1
+            continue
+        j = min(i + w, n)
+        while bits[j - 1] == "0":
+            j -= 1
+        val = int(bits[i:j], 2)
+        if acc is None:
+            acc = tbl[val]
+        else:
+            for _ in range(j - i):
+                acc = _sqr_planes(acc, fs)
+            acc = _mul_planes(acc, tbl[val], fs)
+        i = j
+    return acc
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GFp:
@@ -232,7 +277,10 @@ class GFp:
             pairs.append((left, right))
             cur = _mul_planes(left, right, fs)
 
-        inv = _pow_const_planes(cur, fs.fermat_exponent, fs)
+        # the (D, 1) root Fermat chain gates the whole batch and is pure
+        # launch latency — the unrolled public-exponent window power cuts
+        # its serial op count ~1.7x vs the rolled loop
+        inv = _pow_const_planes_unrolled(cur, fs.fermat_exponent, fs)
         for left, right in reversed(pairs):
             inv_l = _mul_planes(inv, right, fs)
             inv_r = _mul_planes(inv, left, fs)
