@@ -8,6 +8,13 @@ operations, batched per lane like everything else in the framework:
 - ``verify``: w = s^-1 mod n; u1 = e*w, u2 = r*w; R = u1*G + u2*Q;
   accept iff R != inf and R.x == r (mod n).
 - ``sign``:   R = k*G; r = R.x mod n; s = k^-1 (e + r*d) mod n.
+- ``recover``: Q = r^-1 (s*R - z*G) from (r, s, recovery id) — SEC 1
+  §4.1.6 public-key recovery (the secp256k1-ecosystem staple), batched.
+
+Inversions are batch-shared (GFp.batch_inverse, r5); RFC 6979
+deterministic nonces via ``rfc6979_nonce``/``sign_hashes``; GLV
+endomorphism routing on capable curves (see _verify_impl); sharded
+pod-scale twins ``sign_planes_sharded``/``verify_planes_sharded``.
 
 Design notes (TPU-first):
 
@@ -273,6 +280,152 @@ def _verify_sharded_fn(mesh, curve: CurveSpec, axis_name: str, tile: int,
     return jax.jit(f)
 
 
+def recover_planes(
+    z, r, s, v, curve: CurveSpec,
+    tile: int | None = None, interpret: bool = False, glv: bool | None = None,
+):
+    """Batched ECDSA public-key recovery (SEC 1 v2 §4.1.6, cofactor-1):
+    Q = r^-1 * (s*R - z*G) with R decompressed from (r, recovery id v).
+
+    z, r, s: (D, B) classical planes; v: (B,) int32 recovery ids in [0, 3]
+    (bit 0 = parity of R.y, bit 1 = R.x overflowed mod n — the convention
+    oracle/ecdsa.sign_recoverable emits). Returns (qx, qy, ok): recovered
+    affine public keys (zeroed on failed lanes) + validity mask. Both
+    scalar mults are strict/total-domain (inputs are attacker-supplied by
+    construction — recovery exists to process foreign signatures); GLV
+    routing as in verify. One batch inversion (mod n) for r^-1, one sqrt
+    chain for the decompression, one complete add — all batched.
+    """
+    fn = _recover_impl if interpret else _recover_jit
+    return fn(z, r, s, v, curve, tile=tile, interpret=interpret, glv=glv)
+
+
+def _recover_impl(
+    z, r, s, v, curve: CurveSpec,
+    tile: int | None = None, interpret: bool = False, glv: bool | None = None,
+):
+    from ecsimd_tpu.glv import glv_capable
+    from ecsimd_tpu.kernels import window
+
+    use_glv = glv_capable(curve) if glv is None else glv
+    fs = curve.field
+    fs_n = order_field(curve)
+    t = window.DEFAULT_TILE if tile is None else tile
+
+    n_pl = mont.p_planes(fs_n, r)
+    p_pl = mont.p_planes(fs, r)
+    ok = (
+        (1 - bn.is_zero(r)) & (1 - bn.is_zero(s))
+        & bn.cmp_lt(r, n_pl) & bn.cmp_lt(s, n_pl) & (v >= 0) & (v <= 3)
+    )
+    # candidate R.x = r (+ n when v bit 1); must stay < p
+    xn, carry = bn.add(r, n_pl)
+    hi = jax.lax.shift_right_logical(v, 1) & 1
+    x_cand = bn.select(hi, xn, r)
+    ok = ok & (1 - (hi & (carry | (1 - bn.cmp_lt(xn, p_pl)))))
+    x_cand = bn.select(ok, x_cand, jnp.zeros_like(r).at[0].set(1))
+
+    dec, sqrt_ok = group.affine_from_x(x_cand, curve)
+    ok = ok & sqrt_ok
+    ydec = GFp.from_classical(dec.y, fs)
+    parity = dec.y[0] & 1
+    want = v & 1
+    ry = ydec.select(parity == want, ydec.opposite()).to_classical()
+    # steer invalid lanes to G so the kernel bases are genuine curve points
+    gx_pl = jnp.broadcast_to(
+        jnp.asarray(convert.ints_to_planes([curve.gx], fs.ndigits)), r.shape)
+    gy_pl = jnp.broadcast_to(
+        jnp.asarray(convert.ints_to_planes([curve.gy], fs.ndigits)), r.shape)
+    rx_s = bn.select(ok, x_cand, gx_pl)
+    ry_s = bn.select(ok, ry, gy_pl)
+
+    # r^-1 mod n (batch-shared); u1 = -z*r^-1, u2 = s*r^-1
+    rm = mont.mont_from_classical(r, fs_n)
+    rm = bn.select(bn.is_zero(rm), mont.mont_one(fs_n, rm), rm)
+    rinv = GFp.from_mont(rm, fs_n).batch_inverse().planes
+    e = _mod_n(z, fs_n)
+    em = mont.mont_from_classical(e, fs_n)
+    sm = mont.mont_from_classical(s, fs_n)
+    u1p = mont.mont_to_classical(mont.mont_mul(em, rinv, fs_n), fs_n)
+    u1 = bn.select(bn.is_zero(u1p), u1p, bn.sub(n_pl, u1p)[0])  # -z r^-1
+    u2 = mont.mont_to_classical(mont.mont_mul(sm, rinv, fs_n), fs_n)
+    one = jnp.zeros_like(u1).at[0].set(1)
+    u2 = bn.select(bn.is_zero(u2), one, u2)  # only on already-invalid lanes
+    u1_zero = bn.is_zero(u1)
+    u1s = bn.select(u1_zero, one, u1)
+
+    if use_glv:
+        from ecsimd_tpu.kernels import glv as kglv
+
+        def varbase(scal, jac):
+            return kglv.scalar_mult(scal, jac, tile=t, interpret=interpret,
+                                    strict=True)
+    else:
+
+        def varbase(scal, jac):
+            return window.scalar_mult(scal, jac, tile=t, interpret=interpret,
+                                      strict=True)
+
+    gb = JacobianPoint.from_affine(AffinePoint(gx_pl, gy_pl, curve))
+    s1 = varbase(u1s, gb)
+    s2 = varbase(u2, JacobianPoint.from_affine(AffinePoint(rx_s, ry_s, curve)))
+    z1 = s1.z.select(1 - u1_zero, s1.z.const_like(0))
+    q = group.jac_add_complete(JacobianPoint(s1.x, s1.y, z1, curve), s2)
+    ok = ok & (1 - q.z.is_zero())
+    aff = q.to_affine()
+    qx = bn.select(ok, aff.x, jnp.zeros_like(aff.x))
+    qy = bn.select(ok, aff.y, jnp.zeros_like(aff.y))
+    return qx, qy, ok
+
+
+_recover_jit = functools.partial(
+    jax.jit, static_argnames=("curve", "tile", "interpret", "glv")
+)(_recover_impl)
+
+
+def sign_planes_sharded(
+    z, d, k, curve: CurveSpec, mesh, axis_name: str = "batch",
+    tile: int | None = None, interpret: bool = False, strict: bool = False,
+):
+    """Batched ECDSA signing sharded over a device mesh (the pod-scale twin
+    of verify_planes_sharded): the comb k*G + batch-inverse epilogue runs
+    per shard under shard_map — signing is lane-local (the batch inversions
+    become per-shard trees), zero collectives. Auto-pads to
+    n_devices * tile with lane-0 copies; padding signatures are sliced off.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ecsimd_tpu import parallel
+    from ecsimd_tpu.kernels import comb
+
+    t = comb.DEFAULT_TILE if tile is None else tile
+    multiple = mesh.devices.size * (1 if interpret else t)
+    padded = [parallel.pad_batch(a, multiple) for a in (z, d, k)]
+    b_true = padded[0][1]
+    fn = _sign_sharded_fn(mesh, curve, axis_name, t, interpret, strict)
+    r, s, ok = fn(*(a for a, _ in padded))
+    return r[:, :b_true], s[:, :b_true], ok[:b_true]
+
+
+@functools.cache
+def _sign_sharded_fn(mesh, curve: CurveSpec, axis_name: str, tile: int,
+                     interpret: bool, strict: bool):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(None, axis_name)
+    per_shard = functools.partial(
+        _sign_impl, curve=curve, tile=None if interpret else tile,
+        interpret=interpret, strict=strict,
+    )
+    f = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(spec,) * 3, out_specs=(spec, spec, P(axis_name)),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
 def sign_planes(
     z, d, k, curve: CurveSpec, tile: int | None = None, interpret: bool = False,
     strict: bool = False,
@@ -430,6 +583,20 @@ def verify_ints(zs, rs, ss, qxs, qys, curve: CurveSpec = P256, **kw) -> list[boo
     import numpy as np
 
     return [bool(v) for v in np.asarray(verify_planes(*pl, curve, **kw))]
+
+
+def recover_ints(zs, rs, ss, vs, curve: CurveSpec = P256, **kw):
+    """Int-list public-key recovery: returns a list of (qx, qy) | None."""
+    import numpy as np
+
+    d = curve.field.ndigits
+    pl = [jnp.asarray(convert.ints_to_planes(x, d)) for x in (zs, rs, ss)]
+    qx, qy, ok = recover_planes(
+        *pl, jnp.asarray(np.asarray(vs, np.int32)), curve, **kw)
+    gx = convert.planes_to_ints(np.asarray(qx))
+    gy = convert.planes_to_ints(np.asarray(qy))
+    return [(x, y) if bool(o) else None
+            for x, y, o in zip(gx, gy, np.asarray(ok))]
 
 
 def sign_ints(zs, ds, curve: CurveSpec = P256, ks=None, **kw):

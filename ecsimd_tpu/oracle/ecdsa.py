@@ -81,3 +81,50 @@ def verify(z: int, r: int, s: int, qx: int, qy: int, curve: CurveSpec) -> bool:
 def keypair(d: int, curve: CurveSpec) -> tuple[int, int]:
     """Public key d*G for private key d."""
     return coz.scalar_mult_affine(d, curve.gx, curve.gy, curve)
+
+
+def sign_recoverable(z: int, d: int, k: int, curve: CurveSpec):
+    """(r, s, v) with the recovery id v: bit 0 = parity of R.y, bit 1 =
+    whether R.x overflowed mod n (x = r + n). None on r == 0 / s == 0."""
+    n = curve.order
+    assert 1 <= d < n and 1 <= k < n
+    rx, ry = coz.scalar_mult_affine(k, curve.gx, curve.gy, curve)
+    r = rx % n
+    if r == 0:
+        return None
+    s = pow(k, -1, n) * (z % n + r * d) % n
+    if s == 0:
+        return None
+    return r, s, (ry & 1) | (2 if rx >= n else 0)
+
+
+def recover(z: int, r: int, s: int, v: int, curve: CurveSpec):
+    """Public-key recovery: the unique Q with verify(z, r, s, Q) == True
+    for this recovery id, or None if (r, s, v) encodes no valid point.
+    SEC 1 v2 §4.1.6, cofactor-1 curves."""
+    n, p = curve.order, curve.p
+    if not (1 <= r < n and 1 <= s < n and 0 <= v <= 3):
+        return None
+    x = r + (n if v & 2 else 0)
+    if x >= p:
+        return None
+    rhs = (x * x * x + curve.a * x + curve.b) % p
+    from ecsimd_tpu.oracle.field import mont_sqrt, mont_from_classical, mont_to_classical
+
+    fsr = curve.field
+    root = mont_sqrt(mont_from_classical(rhs, fsr), fsr)
+    if root is None:
+        return None
+    y = mont_to_classical(root, fsr)
+    if (y & 1) != (v & 1):
+        y = p - y
+    rinv = pow(r, -1, n)
+    u1 = (-z % n) * rinv % n
+    u2 = s * rinv % n
+    q1 = _jac_mult(u1, (curve.gx, curve.gy, 1), curve) if u1 else None
+    q2 = _jac_mult(u2, (x, y, 1), curve)
+    q = q2 if q1 is None else _jac_add(q1, q2, curve)
+    if q is None:
+        return None
+    qx, qy = coz.jacobian_to_affine(q, curve)
+    return qx, qy

@@ -189,6 +189,35 @@ def main():
             np.asarray(dg)
             rates[name] = batch * iters / (time.perf_counter() - t0)
 
+    # --- recover ---------------------------------------------------------
+    if "recover" in ops:
+        import jax as _jax
+
+        # true recovery ids for the verified lanes (oracle); arbitrary ids
+        # beyond (identical work, results unchecked)
+        v_true = [oecdsa.sign_recoverable(zs[i], ds[i], ks[i], curve)[2]
+                  for i in range(nver)]
+        vs = np.zeros(batch, np.int32)
+        vs[:nver] = v_true
+        v_pl = jnp.asarray(vs)
+        zc = jnp.asarray(convert.ints_to_planes(zs, d))
+
+        qx, qy, okr = ecdsa.recover_planes(zc, r_pl, s_pl, v_pl, curve, tile=tile)
+        okh = np.asarray(okr)
+        gx = convert.planes_to_ints(np.asarray(qx)[:, :nver])
+        gy = convert.planes_to_ints(np.asarray(qy)[:, :nver])
+        for i in range(nver):
+            assert okh[i] and (gx[i], gy[i]) == want_pub[i], f"recover lane {i}"
+        print(f"recover: {nver} lanes oracle-exact", file=sys.stderr)
+
+        @_jax.jit
+        def rec_step(z, r, s, v):
+            qx, qy, ok = ecdsa._recover_impl(z, r, s, v, curve, tile=tile)
+            dg = qx[:, :128] ^ qy[:, :128] ^ (ok[:128] & 1)[None]
+            return dg, z, qx, s, v  # chain r <- qx (valid < p planes)
+
+        rates["recover"] = timed(rec_step, (zc, r_pl, s_pl, v_pl))
+
     # --- ecdh -----------------------------------------------------------
     if "ecdh" in ops:
         import functools

@@ -243,3 +243,66 @@ def test_jac_add_complete_degenerate(rng):
         assert zs[i] != 0
         got_aff = coz.jacobian_to_affine((xs[i], ys[i], zs[i]), curve)
         assert got_aff == coz.jacobian_to_affine(w, curve), f"lane {i}"
+
+
+def test_recover_oracle_roundtrip(rng):
+    """Oracle recovery: sign_recoverable -> recover returns the signing key
+    for every curve shape (incl. the p = 1 mod 4 TOYGLV via Tonelli sqrt)."""
+    from tests.toy import TOYGLV
+
+    for curve in (TOY64E, TOYGLV, P256):
+        n = curve.order
+        for _ in range(4):
+            d = rng.randrange(1, n)
+            qx, qy = oecdsa.keypair(d, curve)
+            z = rng.randrange(0, 1 << curve.field.nbits)
+            out = None
+            while out is None:
+                out = oecdsa.sign_recoverable(z, d, rng.randrange(1, n), curve)
+            r, s, v = out
+            assert oecdsa.recover(z, r, s, v, curve) == (qx, qy)
+            # the OTHER parity id recovers a DIFFERENT (or no) key
+            other = oecdsa.recover(z, r, s, v ^ 1, curve)
+            assert other != (qx, qy)
+
+
+def test_recover_planes_toy(rng):
+    """Device recovery pipeline end-to-end (interpret kernels) on both toy
+    shapes: recovered keys bit-exact, wrong-parity and tampered lanes
+    rejected or different."""
+    from tests.toy import TOYGLV
+
+    for curve in (TOY64E, TOYGLV):
+        n = curve.order
+        d = curve.field.ndigits
+        lanes = 6
+        zs, rs, ss, vs, want = [], [], [], [], []
+        for i in range(lanes):
+            dk = rng.randrange(1, n)
+            q = oecdsa.keypair(dk, curve)
+            z = rng.randrange(0, 1 << curve.field.nbits)
+            out = None
+            while out is None:
+                out = oecdsa.sign_recoverable(z, dk, rng.randrange(1, n), curve)
+            r, s, v = out
+            zs.append(z); rs.append(r); ss.append(s); vs.append(v); want.append(q)
+        # lane 3: invalid recovery id (r + n >= p for these toys since n ~ p)
+        vs[3] |= 2
+        import jax.numpy as jnp
+
+        pl = [jnp.asarray(convert.ints_to_planes(x, d)) for x in (zs, rs, ss)]
+        qx, qy, ok = ecdsa.recover_planes(
+            *pl, jnp.asarray(np.asarray(vs, np.int32)), curve,
+            tile=8, interpret=True)
+        okh = [bool(b) for b in np.asarray(ok)]
+        gx = convert.planes_to_ints(np.asarray(qx))
+        gy = convert.planes_to_ints(np.asarray(qy))
+        for i in range(lanes):
+            if i == 3:
+                expect = oecdsa.recover(zs[i], rs[i], ss[i], vs[i], curve)
+                if expect is None:
+                    assert not okh[i] and gx[i] == 0 and gy[i] == 0
+                else:
+                    assert okh[i] and (gx[i], gy[i]) == expect
+            else:
+                assert okh[i] and (gx[i], gy[i]) == want[i], i

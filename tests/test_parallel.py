@@ -261,3 +261,27 @@ def test_ecdsa_verify_sharded_lowers(mesh):
     fn = ecdsa._verify_sharded_fn(mesh, TOYGLV, parallel.BATCH_AXIS, 8, True, False)
     a = jax.ShapeDtypeStruct((d, 64), jnp.int32)
     fn.lower(a, a, a, a, a)  # raises on spec/shape errors
+
+
+def test_ecdsa_sign_sharded_toy(mesh, rng):
+    """ecdsa.sign over the 8-device mesh: per-shard comb + per-shard batch
+    inversion, bit-exact vs the oracle (TOY64E — the comb XLA twin per
+    shard compiles fine, unlike the window twin)."""
+    from ecsimd_tpu import ecdsa
+    from ecsimd_tpu.oracle import ecdsa as oecdsa
+    from tests.toy import TOY64E
+
+    curve = TOY64E
+    n = curve.order
+    d = curve.field.ndigits
+    lanes = 8
+    zs = [rng.randrange(0, 1 << 64) for _ in range(lanes)]
+    ds = [rng.randrange(1, n) for _ in range(lanes)]
+    ks = [rng.randrange(1, n) for _ in range(lanes)]
+    pl = [jnp.asarray(convert.ints_to_planes(v, d)) for v in (zs, ds, ks)]
+    r, s, ok = ecdsa.sign_planes_sharded(*pl, curve, mesh, interpret=True)
+    assert np.asarray(ok).all()
+    rh = convert.planes_to_ints(np.asarray(r))
+    sh = convert.planes_to_ints(np.asarray(s))
+    for z, dk, kk, ri, si in zip(zs, ds, ks, rh, sh):
+        assert oecdsa.sign(z, dk, kk, curve) == (ri, si)
