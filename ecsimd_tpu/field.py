@@ -277,10 +277,18 @@ class GFp:
             pairs.append((left, right))
             cur = _mul_planes(left, right, fs)
 
-        # the (D, 1) root Fermat chain gates the whole batch and is pure
+        # The (D, 1) root Fermat chain gates the whole batch and is pure
         # launch latency — the unrolled public-exponent window power cuts
-        # its serial op count ~1.7x vs the rolled loop
-        inv = _pow_const_planes_unrolled(cur, fs.fermat_exponent, fs)
+        # its serial op count ~1.7x vs the rolled loop. EXCEPT on crandall
+        # fields: each unrolled crandall mult trips XLA's algebraic-
+        # simplifier 50-run circular-rewrite cap (the capped warning
+        # CLAUDE.md documents), and ~330 of them make the graph UNCOMPILABLE
+        # on XLA:CPU (>15 min; measured r5 on the X25519 batch path) — those
+        # keep the rolled loop.
+        if fs.reduction == "crandall":
+            inv = _pow_const_planes(cur, fs.fermat_exponent, fs)
+        else:
+            inv = _pow_const_planes_unrolled(cur, fs.fermat_exponent, fs)
         for left, right in reversed(pairs):
             inv_l = _mul_planes(inv, right, fs)
             inv_r = _mul_planes(inv, left, fs)

@@ -14,10 +14,11 @@ validated against the group law — nothing is hard-coded.
 
 Decomposition layout: the exact-division rounding c_i = round(b_i * k / n)
 becomes a Barrett multiply c_i = (k * g_i + 2^(t-1)) >> t with
-g_i = round(2^t * |b_i| / n), t = 384 — measured error 0 over the sampled
-domain and provably <= 1, which only widens |k_i| by |a_i| + |a_2| (still
-< 2^(16*dk - 1)). Signed k_i travel as (magnitude, sign-mask) pairs in
-dk-digit planes, two's-complement over 2^(16*(D+1)) internally.
+g_i = round(2^t * |b_i| / n), t = 1.5 * nbits (384 for 256-bit curves) —
+measured error 0 over the sampled domain and provably <= 1, which only
+widens |k_i| by |a_1| + |a_2| (still < 2^(16*dk - 1)). Signed k_i travel
+as (magnitude, sign-mask) pairs in dk-digit planes, two's-complement over
+2^(16*(D+1)) internally.
 """
 
 from __future__ import annotations

@@ -90,11 +90,19 @@ def _plan(fs: FieldSpec, ncols: int, col_bound: int, col_lo: int = 0) -> _Plan:
         hi[j + 1] += max(cc * thi_hi, 0)
     min_value = sum(l << (DIGIT_BITS * s) for s, l in enumerate(lo))
     max_value = sum(h << (DIGIT_BITS * s) for s, h in enumerate(hi))
-    # offset m*p makes the folded value provably nonnegative (cf. solinas._plan)
+    # offset m*p makes the folded value provably nonnegative (cf. solinas._plan).
+    # Slots hold int32, not 16-bit digits, so the offset's top slot may carry
+    # the whole excess above 2^(16*(d+1)) — P-521's fused-formula combos
+    # (col_lo = -8 * grid bound) need one bit more than d+2 16-bit digits
+    # (r5: this was an assert; the window/comb kernels were unreachable for
+    # d = 33 without it).
     m = (-min_value + fs.p - 1) // fs.p if min_value < 0 else 0
-    offset_digits = int_to_digits(m * fs.p, d + 3)
-    assert offset_digits[d + 2] == 0, "offset exceeds the two extra slots"
-    offset_digits = offset_digits[: d + 2]
+    off = m * fs.p
+    low_mask = (1 << (DIGIT_BITS * (d + 1))) - 1
+    offset_digits = tuple(int_to_digits(off & low_mask, d + 1)) + (off >> (DIGIT_BITS * (d + 1)),)
+    assert offset_digits[d + 1] + max(hi) + (1 << DIGIT_BITS) < (1 << 31), (
+        "offset top slot overflows int32"
+    )
     assert min(lo) > -(1 << 30) and max(hi) + (1 << DIGIT_BITS) < (1 << 31), "slot overflow"
 
     # stage 2: normalize d+2 slots; value >= 0 so the carry-out is >= 0

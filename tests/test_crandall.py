@@ -124,3 +124,26 @@ def test_default_fori_ladder_crandall(rng):
     res = api.scalar_mult(api.scalars_from_ints(ks, TOYC), g)
     got = list(zip(planes_to_ints(res.x), planes_to_ints(res.y)))
     assert got == [coz.scalar_mult_affine(k, TOYC.gx, TOYC.gy, TOYC) for k in ks]
+
+
+def test_p521_negative_combo_offset(rng):
+    """The P-521 fused-formula column shape (ncols = 2d+1, col_lo = -8x grid
+    bound) needs an offset one bit beyond d+2 16-bit digits; the plan now
+    carries the excess in the top SLOT (int32), which this differential
+    pins: a^2 - 8*b reduced in one combo == ints (r5; was an AssertionError
+    that excluded the P-521 window/comb kernels entirely)."""
+    import jax.numpy as jnp
+
+    from ecsimd_tpu.kernels import digits as dg
+    from ecsimd_tpu.specs import P521
+
+    fs = P521.field
+    d = fs.ndigits
+    vals_a = [rng.randrange(fs.p) for _ in range(4)]
+    vals_b = [rng.randrange(fs.p) for _ in range(4)]
+    al = [jnp.asarray(convert.ints_to_planes(vals_a, d))[k] for k in range(d)]
+    bl = [jnp.asarray(convert.ints_to_planes(vals_b, d))[k] for k in range(d)]
+    ga = dg._grid(al, al, d)
+    gb = dg._grid(al, bl, d)
+    got = planes_to_ints(jnp.stack(dg.reduce_combo([(ga, 1), (gb, -8)], fs)))
+    assert got == [(x * x - 8 * x * y) % fs.p for x, y in zip(vals_a, vals_b)]
