@@ -9,6 +9,7 @@ a GFp behaves identically inside jit, vmap, shard_map, and Pallas kernel bodies.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -250,53 +251,13 @@ class GFp:
         a batch-sharded jit XLA will insert collectives; shard_map callers
         get a per-shard tree for free (each shard inverts locally).
         """
-        fs = self.fs
-        planes = self.planes
-        batch_shape = planes.shape[1:]
-        d = planes.shape[0]
-        flat = planes.reshape(d, -1)
-        b = flat.shape[1]
-        if b == 1:
-            return GFp(self.inverse().planes.reshape(planes.shape), fs)
+        # One jitted computation: the tree + unrolled root are thousands of
+        # ops, and EAGER per-op dispatch through a remote-TPU tunnel costs
+        # ~2 ms each (a ~35-minute stall at d = 16, observed r5 in the
+        # verification paths of bench scripts, which call to_affine outside
+        # any jit). Under an outer jit this inlines as before.
+        return GFp(_batch_inverse_planes(self.planes, self.fs), self.fs)
 
-        zero = bn.is_zero(flat)
-        one_col = _one_planes(fs, flat[:, :1])
-        a = bn.select(zero, jnp.broadcast_to(one_col, flat.shape), flat)
-
-        # pad to a power of two with multiplicative identities
-        bp = 1 << (b - 1).bit_length()
-        if bp != b:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(one_col, (d, bp - b))], axis=1
-            )
-
-        pairs = []
-        cur = a
-        while cur.shape[1] > 1:
-            left, right = cur[:, 0::2], cur[:, 1::2]
-            pairs.append((left, right))
-            cur = _mul_planes(left, right, fs)
-
-        # The (D, 1) root Fermat chain gates the whole batch and is pure
-        # launch latency — the unrolled public-exponent window power cuts
-        # its serial op count ~1.7x vs the rolled loop. EXCEPT on crandall
-        # fields: each unrolled crandall mult trips XLA's algebraic-
-        # simplifier 50-run circular-rewrite cap (the capped warning
-        # CLAUDE.md documents), and ~330 of them make the graph UNCOMPILABLE
-        # on XLA:CPU (>15 min; measured r5 on the X25519 batch path) — those
-        # keep the rolled loop.
-        if fs.reduction == "crandall":
-            inv = _pow_const_planes(cur, fs.fermat_exponent, fs)
-        else:
-            inv = _pow_const_planes_unrolled(cur, fs.fermat_exponent, fs)
-        for left, right in reversed(pairs):
-            inv_l = _mul_planes(inv, right, fs)
-            inv_r = _mul_planes(inv, left, fs)
-            inv = jnp.stack([inv_l, inv_r], axis=2).reshape(d, -1)
-
-        inv = inv[:, :b]
-        out = bn.select(zero, jnp.zeros_like(flat), inv)
-        return GFp(out.reshape(planes.shape), fs)
 
     def sqrt(self) -> tuple["GFp", jax.Array]:
         """Per-lane square root, any odd prime — beyond the reference, whose
@@ -375,6 +336,55 @@ def _scale_fallback(r, scale: int):
         return r.double().double().double()
     raise ValueError(f"unsupported scale {scale}")
 
+
+@functools.partial(jax.jit, static_argnames=("fs",))
+def _batch_inverse_planes(planes, fs: FieldSpec):
+    batch_shape = planes.shape[1:]
+    d = planes.shape[0]
+    flat = planes.reshape(d, -1)
+    b = flat.shape[1]
+    if b == 1:
+        out = _pow_const_planes(flat, fs.fermat_exponent, fs)
+        return out.reshape(planes.shape)
+
+    zero = bn.is_zero(flat)
+    one_col = _one_planes(fs, flat[:, :1])
+    a = bn.select(zero, jnp.broadcast_to(one_col, flat.shape), flat)
+
+    # pad to a power of two with multiplicative identities
+    bp = 1 << (b - 1).bit_length()
+    if bp != b:
+        a = jnp.concatenate(
+            [a, jnp.broadcast_to(one_col, (d, bp - b))], axis=1
+        )
+
+    pairs = []
+    cur = a
+    while cur.shape[1] > 1:
+        left, right = cur[:, 0::2], cur[:, 1::2]
+        pairs.append((left, right))
+        cur = _mul_planes(left, right, fs)
+
+    # The (D, 1) root Fermat chain gates the whole batch and is pure
+    # launch latency — the unrolled public-exponent window power cuts
+    # its serial op count ~1.7x vs the rolled loop. TPU backend only: the
+    # ~330 unrolled field ops cost ~0.75 s/op (solinas) to ~2.5 s/op
+    # (crandall — the algsimp circular-rewrite cap CLAUDE.md documents;
+    # minutes to NEVER) of XLA:CPU compile, which would tax every CPU-suite
+    # graph; the rolled loop's compact while-body is the right shape for
+    # CPU correctness runs. Backend choice is a trace-time host fact.
+    if fs.reduction != "crandall" and jax.default_backend() == "tpu":
+        inv = _pow_const_planes_unrolled(cur, fs.fermat_exponent, fs)
+    else:
+        inv = _pow_const_planes(cur, fs.fermat_exponent, fs)
+    for left, right in reversed(pairs):
+        inv_l = _mul_planes(inv, right, fs)
+        inv_r = _mul_planes(inv, left, fs)
+        inv = jnp.stack([inv_l, inv_r], axis=2).reshape(d, -1)
+
+    inv = inv[:, :b]
+    out = bn.select(zero, jnp.zeros_like(flat), inv)
+    return out.reshape(planes.shape)
 
 def gfp_swap_if(mask, a, b):
     """Constant-time masked swap (swap.h:15-45). Generic over the element
