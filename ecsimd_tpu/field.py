@@ -75,10 +75,10 @@ def _pow_const_planes_unrolled(am, e: int, fs: FieldSpec, w: int = 4):
     a Python int at trace time, so the window values are compile-time
     literals: unrolling gives sqr-per-bit plus one mul per NONZERO window
     and zero selects — ~1.2 serial ops/bit, ~1.7x shorter critical path.
-    Used where the power runs at tiny batch and is therefore launch-latency
-    bound (the batch_inverse tree root: one (D, 1) Fermat chain gates the
-    whole batch); the rolled form stays the default elsewhere to keep
-    traced graphs small."""
+    SHELVED (r5): kept for reference/bench experiments only — inlined into
+    the ECDSA sign graph it OOM-killed the TPU remote-compile helper, and
+    on XLA:CPU each unrolled field op costs 0.75-2.5 s of compile (see
+    batch_inverse for the measurement note). No production caller."""
     if e == 0:
         return _one_planes(fs, am)
     if e == 1:
@@ -365,18 +365,15 @@ def _batch_inverse_planes(planes, fs: FieldSpec):
         pairs.append((left, right))
         cur = _mul_planes(left, right, fs)
 
-    # The (D, 1) root Fermat chain gates the whole batch and is pure
-    # launch latency — the unrolled public-exponent window power cuts
-    # its serial op count ~1.7x vs the rolled loop. TPU backend only: the
-    # ~330 unrolled field ops cost ~0.75 s/op (solinas) to ~2.5 s/op
-    # (crandall — the algsimp circular-rewrite cap CLAUDE.md documents;
-    # minutes to NEVER) of XLA:CPU compile, which would tax every CPU-suite
-    # graph; the rolled loop's compact while-body is the right shape for
-    # CPU correctness runs. Backend choice is a trace-time host fact.
-    if fs.reduction != "crandall" and jax.default_backend() == "tpu":
-        inv = _pow_const_planes_unrolled(cur, fs.fermat_exponent, fs)
-    else:
-        inv = _pow_const_planes(cur, fs.fermat_exponent, fs)
+    # The (D, 1) root Fermat chain gates the whole batch. The unrolled
+    # public-exponent window power (_pow_const_planes_unrolled) would cut
+    # its serial op count ~1.7x, but it is SHELVED (r5, measured): the
+    # ~330 unrolled field ops per inversion OOM-kill the TPU remote-compile
+    # helper on the full ECDSA sign graph (HTTP 500 SIGKILL, twice) and
+    # cost 0.75-2.5 s/op of XLA:CPU compile in the test suite — while the
+    # measured sign rate (1.96M/s) was captured with this rolled loop, so
+    # the unroll's win was never demonstrated end-to-end. Keep rolled.
+    inv = _pow_const_planes(cur, fs.fermat_exponent, fs)
     for left, right in reversed(pairs):
         inv_l = _mul_planes(inv, right, fs)
         inv_r = _mul_planes(inv, left, fs)
