@@ -77,9 +77,9 @@ def main():
     from ecsimd_tpu import convert, ecdh, ecdsa
     from ecsimd_tpu.oracle import coz
     from ecsimd_tpu.oracle import ecdsa as oecdsa
-    from ecsimd_tpu.specs import P256
+    from ecsimd_tpu.specs import CURVES
 
-    curve = P256
+    curve = CURVES[os.environ.get("PROTO_CURVE", "nist-p256")]
     n = curve.order
     d = curve.field.ndigits
     batch = int(os.environ.get("PROTO_BATCH", "131072"))
@@ -247,7 +247,7 @@ def main():
         rates["ecdh"] = timed(ecdh_step, (d_pl, qx_pl, qy_pl))
 
     print(json.dumps({
-        "metric": "p256_protocol_ops_per_sec",
+        "metric": f"{curve.name}_protocol_ops_per_sec",
         "batch": batch,
         "iters": iters,
         "verified_lanes": nver,
