@@ -1,19 +1,53 @@
-"""Find a toy GLV curve: y^2 = x^3 + b over Goldilocks p = 2^64 - 2^32 + 1
-(p = 1 mod 3) with exact ODD order n, n = 1 (mod 3) — so the full GLV path
-(cube roots, lattice split, endomorphism kernel) runs at 4 digits in CPU
-tests. Same BSGS order-finding argument as find_toy_ecdsa_curve.py; here n
-need not be prime, only odd with a known factorization-free exactness
-argument — so we REQUIRE n prime anyway (prime in the Hasse interval is the
-unique group order, and lambda mod n needs the full group = <G>)."""
+"""Find the toy GLV curve (tests/toy.py TOYGLV): y^2 = x^3 + b over a
+32-bit prime p = 1 (mod 3) with EXACT prime order n = 1 (mod 3) — the shape
+the GLV endomorphism split (ecsimd_tpu/glv.py) requires, at 2 digits so the
+unrolled GLV XLA twin runs in seconds on CPU.
+
+Method (the Cornacchia variant; a Hasse-interval BSGS at 64 bits was too
+slow at ~10 s/candidate x hundreds of candidates): for j-invariant-0 curves
+over p = a^2 + 3b^2 (p = 1 mod 3), the six twist orders are known
+analytically: N = p + 1 - t for t in {+-2a, +-(a+3b), +-(a-3b)}. So
+1. scan 32-bit primes p = 1 (mod 3), solve p = a^2 + 3b^2 (Cornacchia:
+   Euclid descent from sqrt(-3) mod p),
+2. keep p whose candidate set contains an ODD PRIME N = 1 (mod 3),
+3. scan b until a curve point G selects that twist: exactly one candidate
+   kills G (N*G = inf) and it is the good one; N prime + N*G = inf +
+   (N-1)*G != inf makes N the exact order of <G> = E.
+
+Prints the CurveSpec constants. Run: python scripts/find_toy_glv_curve.py
+(finds p = 0xFFFFFEC5, b = 13, G = (2, 213086585), n = 0xFFFF9403 in ~10 s).
+"""
 
 import math
-import random
 import sys
 
 sys.path.insert(0, "scripts")
-from find_toy_ecdsa_curve import is_prime, sqrt_mod  # noqa: E402
+from find_toy_ecdsa_curve import is_prime  # noqa: E402
 
-P = (1 << 64) - (1 << 32) + 1
+
+def sqrt_any(a, p):
+    if a == 0:
+        return 0
+    if pow(a, (p - 1) // 2, p) != 1:
+        return None
+    if p % 4 == 3:
+        return pow(a, (p + 1) // 4, p)
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    m, c, t, r = s, pow(z, q, p), pow(a, q, p), pow(a, (q + 1) // 2, p)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        m, c, t, r = i, b * b % p, t * b * b % p, r * b % p
+    return r
 
 
 def jac_add(p1, p2, p):
@@ -69,59 +103,56 @@ def x_affine(pt, p):
     return x * pow(z * z % p, -1, p) % p
 
 
-def group_order(gx, gy, p):
-    w = 2 * math.isqrt(p) + 2
-    m = math.isqrt(w) + 1
-    G = (gx, gy, 1)
-    base = jac_mult(p + 1 - w // 2, G, p)
-    # baby steps: x-coords of j*G, j in [0, m)
-    baby = {}
-    pt = (1, 1, 0)
-    for j in range(m):
-        xa = x_affine(pt, p)
-        baby.setdefault(xa, []).append(j)
-        pt = jac_add(pt, G, p)
-    # giant steps
-    mG = jac_mult(m, G, p)
-    cur = base
-    for i in range(m + 2):
-        xa = x_affine(cur, p)
-        if xa in baby:
-            for j in baby[xa]:
-                for sj in (j, -j):
-                    N = p + 1 - w // 2 + i * m + sj
-                    if N > 0 and jac_mult(N, G, p)[2] == 0:
-                        return N
-        cur = jac_add(cur, mG, p)
-    return None
+def twist_orders(p):
+    """The 6 candidate orders of y^2 = x^3 + b over p = a^2 + 3b^2, or None
+    if the Cornacchia descent fails (it cannot for prime p = 1 mod 3)."""
+    r = sqrt_any(p - 3, p)
+    if r is None:
+        return None
+    a_, b_ = p, r
+    while b_ * b_ > p:
+        a_, b_ = b_, a_ % b_
+    x = b_
+    y2, rem = divmod(p - x * x, 3)
+    ys = math.isqrt(y2)
+    if rem or ys * ys != y2:
+        return None
+    a, b = x, ys
+    return sorted({p + 1 - t for t in (2 * a, -2 * a, a + 3 * b,
+                                       -(a + 3 * b), a - 3 * b, -(a - 3 * b))})
 
 
 def main():
-    assert P % 3 == 1
-
-    for b in range(2, 2000):
-        # pick G by solving y^2 = x^3 + b for successive x
-        found = None
-        for x in range(1, 50):
-            rhs = (x * x * x + b) % P
-            y = sqrt_mod(rhs, P)
-            if y is not None:
-                found = (x, y)
-                break
-        if not found:
-            continue
-        gx, gy = found
-        N = group_order(gx, gy, P)
-        if N is None or N % 2 == 0 or N % 3 != 1:
-            continue
-        if not is_prime(N):
-            continue
-        print(f"b={b} G=({gx},{hex(gy)}) n={hex(N)} n%3={N%3} bits={N.bit_length()}")
-        print("TOYGLV = CurveSpec(")
-        print(f'    name="toy-glv-goldilocks", field=GOLDILOCKS, a=0, b={b},')
-        print(f"    gx={gx}, gy={gy}, order={hex(N)},")
-        print(")")
-        return
+    x = (1 << 32) - 1
+    while x > (1 << 31):
+        if is_prime(x) and x % 3 == 1:
+            orders = twist_orders(x)
+            good = [N for N in (orders or [])
+                    if N % 2 == 1 and N % 3 == 1 and N > (1 << 31) and is_prime(N)]
+            if good:
+                p = x
+                print(f"p={hex(p)} good orders={[hex(N) for N in good]}")
+                for bb in range(2, 100000):
+                    G = None
+                    for gx in range(1, 50):
+                        yy = sqrt_any((gx ** 3 + bb) % p, p)
+                        if yy:
+                            G = (gx, yy)
+                            break
+                    if not G:
+                        continue
+                    hits = [N for N in orders
+                            if jac_mult(N, (G[0], G[1], 1), p)[2] == 0]
+                    if len(hits) == 1 and hits[0] in good:
+                        N = hits[0]
+                        assert jac_mult(N - 1, (G[0], G[1], 1), p)[2] != 0
+                        print(f"FOUND b={bb} gx={G[0]} gy={G[1]} n={hex(N)}")
+                        print("TOYGLV = CurveSpec(")
+                        print(f'    name="toy-glv32", field=GLV32, a=0, b={bb},')
+                        print(f"    gx={G[0]}, gy={G[1]}, order={hex(N)},")
+                        print(")")
+                        return
+        x -= 2
 
 
 if __name__ == "__main__":
