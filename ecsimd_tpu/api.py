@@ -177,8 +177,11 @@ def multi_scalar_mult(
     )
     jg = JacobianPoint.from_affine(points)
     if use_kernel:
+        from ecsimd_tpu.kernels import glv as kglv
+
         t = window.DEFAULT_TILE if tile is None else tile
-        res = window.scalar_mult(scalars, jg, tile=t, interpret=interpret, strict=True)
+        # strict dispatch: GLV double-scalar kernel on capable curves
+        res = kglv.strict_varbase(scalars, jg, tile=t, interpret=interpret)
     else:
         res = group.scalar_mult(scalars, jg)
     return group.batch_sum(res)

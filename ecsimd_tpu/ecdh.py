@@ -97,8 +97,11 @@ def shared_secret_planes(
 
     jq = JacobianPoint.from_affine(AffinePoint(qx, qy, curve))
     if use_kernel:
+        from ecsimd_tpu.kernels import glv as kglv
+
         t = window.DEFAULT_TILE if tile is None else tile
-        res = window.scalar_mult(dss, jq, tile=t, interpret=interpret, strict=True)
+        # GLV routing on capable curves (secp256k1), strict window otherwise
+        res = kglv.strict_varbase(dss, jq, tile=t, interpret=interpret)
     else:
         res = group.scalar_mult(dss, jq)
     out = res.to_affine()

@@ -268,3 +268,19 @@ def scalar_mult(scalars, pt, tile: int = DEFAULT_TILE, interpret: bool = False,
             GFp.from_mont(ax, fs), GFp.from_mont(ay, fs), GFp.from_mont(z, fs), curve)
     kern = functools.partial(glv_mont_planes, strict=strict)
     return _run_padded(kern, packed, pt, tile, False)
+
+
+def strict_varbase(scalars, pt, tile: int = DEFAULT_TILE,
+                   interpret: bool = False):
+    """Strict (total-domain) variable-base dispatch: the GLV double-scalar
+    kernel on capable curves (~1.2x the strict window it replaces), the
+    strict window kernel otherwise. The shared router for every
+    adversarial-input consumer (ecdsa.verify/recover, ecdh, MSM)."""
+    from ecsimd_tpu.glv import glv_capable
+    from ecsimd_tpu.kernels import window
+
+    if glv_capable(pt.curve):
+        return scalar_mult(scalars, pt, tile=tile, interpret=interpret,
+                           strict=True)
+    return window.scalar_mult(scalars, pt, tile=tile, interpret=interpret,
+                              strict=True)

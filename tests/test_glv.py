@@ -142,3 +142,45 @@ def test_verify_glv_routing(rng):
     for kw in ({}, {"allow_fast_paths": True}, {"glv": False}):
         ok = ecdsa.verify_planes(*pl, curve, tile=8, interpret=True, **kw)
         assert [bool(v) for v in np.asarray(ok)] == expect, kw
+
+
+def test_ecdh_and_msm_glv_routing(rng):
+    """ECDH shared_secret and MSM route their strict mults through the GLV
+    kernel on capable curves (kernels/glv.strict_varbase) — results bit-
+    exact vs the naive oracle on TOYGLV."""
+    from ecsimd_tpu import ecdh
+
+    curve = TOYGLV
+    n = curve.order
+    d = curve.field.ndigits
+    ds = [rng.randrange(1, n) for _ in range(4)]
+    peers = [coz.naive_scalar_mult(e, curve.gx, curve.gy, curve)
+             for e in range(3, 7)]
+    dpl = jnp.asarray(convert.ints_to_planes(ds, d))
+    qx = jnp.asarray(convert.ints_to_planes([x for x, _ in peers], d))
+    qy = jnp.asarray(convert.ints_to_planes([y for _, y in peers], d))
+    sx, ok = ecdh.shared_secret_planes(dpl, qx, qy, curve, tile=4,
+                                       interpret=True)
+    assert np.asarray(ok).all()
+    got = convert.planes_to_ints(np.asarray(sx))
+    want = [coz.naive_scalar_mult(k, bx, by, curve)[0]
+            for k, (bx, by) in zip(ds, peers)]
+    assert got == want
+
+    ks = [rng.randrange(1, n) for _ in range(4)]
+    pts = api.points_from_ints([x for x, _ in peers], [y for _, y in peers],
+                               curve)
+    res = api.multi_scalar_mult(
+        jnp.asarray(convert.ints_to_planes(ks, d)), pts, tile=4,
+        interpret=True)
+    # host expectation via int adds
+    from ecsimd_tpu.oracle.window import _jac_add
+    acc = None
+    for k, (bx, by) in zip(ks, peers):
+        q = coz.naive_scalar_mult(k, bx, by, curve)
+        j = (q[0], q[1], 1)
+        acc = j if acc is None else _jac_add(acc, j, curve)
+    wx = coz.jacobian_to_affine(acc, curve)
+    gx = convert.planes_to_ints(np.asarray(res.to_affine().x))[0]
+    gy = convert.planes_to_ints(np.asarray(res.to_affine().y))[0]
+    assert (gx, gy) == wx
