@@ -142,6 +142,37 @@ def _x25519_xla_jit(k_planes, u_planes):
     return (x2 * z2.batch_inverse()).to_classical()
 
 
+def derive_public_batch(ks: list[bytes], use_kernel: bool = False,
+                        tile: int = 2048) -> list[bytes]:
+    """Batched X25519 public-key derivation X25519(k, 9) through the
+    FIXED-BASE comb on Wei25519 (the Weierstrass lift of the base point:
+    WEI25519.gx - A/3 = 9 exactly), ~5-8x the variable-point ladder —
+    base-point multiplication never needs the twist-safety that forces the
+    x-only ladder for exchanges. Clamped scalars sit near 2^254 (above the
+    subgroup order n ~ 2^252); the comb chain is defined over the full
+    256-bit scalar range, computing (k mod n)*G like the RFC ladder.
+
+    use_kernel=True runs the Mosaic comb (TPU); False the XLA twin path
+    via curves/group (CPU-testable at this scale would be slow — tests use
+    the ladder XLA path for differentials and scripts for the kernel).
+    """
+    from ecsimd_tpu.kernels import comb
+    from ecsimd_tpu.specs import WEI25519
+
+    d = W25519_FIELD.ndigits
+    p = W25519_FIELD.p
+    kp = jnp.asarray(convert.ints_to_planes([clamp(k) for k in ks], d))
+    res = comb.scalar_mult_base(kp, WEI25519, tile=min(tile, max(len(ks), 8)),
+                                use_kernel=use_kernel,
+                                interpret=not use_kernel)
+    aff = res.to_affine()
+    a3 = 486662 * pow(3, -1, p) % p
+    import numpy as np
+
+    xs = convert.planes_to_ints(np.asarray(aff.x))
+    return [((x - a3) % p).to_bytes(32, "little") for x in xs]
+
+
 def x25519_batch(ks: list[bytes], us: list[bytes]) -> list[bytes]:
     """Batched RFC 7748 X25519(k, u) on raw 32-byte strings."""
     d = W25519_FIELD.ndigits

@@ -67,3 +67,16 @@ def test_low_order_and_masked_bit():
         [k, V1_K], [(0).to_bytes(32, "little"), bytes(u_hi)])
     assert z0 == bytes(32)
     assert out_masked.hex() == V1_OUT
+
+
+def test_derive_public_fixed_base():
+    """X25519 keygen through the Wei25519 fixed-base comb (clamped scalars
+    sit ABOVE the subgroup order — the comb is value-linear over the full
+    256-bit range) == cryptography's X25519 public keys."""
+    from cryptography.hazmat.primitives.asymmetric.x25519 import X25519PrivateKey
+
+    ks = [secrets.token_bytes(32) for _ in range(4)]
+    got = x25519.derive_public_batch(ks)
+    for k, g in zip(ks, got):
+        want = X25519PrivateKey.from_private_bytes(k).public_key().public_bytes_raw()
+        assert g == want
